@@ -1,0 +1,124 @@
+package graft.crawl
+
+import graft.filterset.BloomShards
+import graft.model._
+import graft.url.Urls
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver iteration over crawl rounds (reference analog: the async.queue
+  * drain loop; SURVEY.md §3.2). Every round commits atomically to the
+  * [[SnapshotStore]] — frontier, seen-set additions, bloom shards, crawl
+  * order, results, per-shard lineage — so a killed job resumes from the
+  * latest committed round without re-fetching (BASELINE.json:6).
+  */
+final case class CrawlOutcome(store: SnapshotStore, roundsRun: Int, lastRound: Int) {
+  def order(spark: SparkSession): DataFrame =
+    store.readUpTo("order", lastRound).orderBy(col("round"), col("depth"), col("seq"))
+  def seen(spark: SparkSession): DataFrame = store.readUpTo("seen_add", lastRound + 1)
+  def results(spark: SparkSession): DataFrame = store.readUpTo("results", lastRound)
+  def lineage(spark: SparkSession): DataFrame = store.readUpTo("lineage", lastRound)
+
+  /** crawlkit-shaped nested results export: one JSON object per URL
+    * (SURVEY.md §2 #13/#14): {"url":..., "runners": {key: {result|error}}}
+    */
+  def resultsJson(spark: SparkSession): DataFrame = {
+    val r = results(spark)
+    r.groupBy(col("url"))
+      .agg(map_from_entries(array_sort(collect_list(struct(
+        col("runner"),
+        struct(col("result"), col("error")))))).as("runners"))
+      .select(col("url"), to_json(struct(col("url"), col("runners"))).as("json"))
+  }
+}
+
+class CrawlLoop(
+    spark: SparkSession,
+    cfg: CrawlConfig,
+    pages: DataFrame,
+    robots: Dataset[RobotsRule],
+    runners: Map[String, PageRunner],
+    store: SnapshotStore) {
+
+  import spark.implicits._
+  private val fc = CrawlRound.FrontierCols.map(col)
+
+  /** canonicalize + dedupe seeds driver-side (a seed list is tiny) */
+  private def seedFrontier(seeds: Seq[String]): (DataFrame, Set[String]) = {
+    val entries = seeds.zipWithIndex
+      .flatMap { case (s, i) =>
+        Urls.canonicalizeAbsolute(s).map(u =>
+          FrontierEntry(u, 0L, Urls.hostOf(u), 0, Seq(i.toLong), 0))
+      }
+      .groupBy(_.url).values.map(_.minBy(_.seq.head)).toSeq.sortBy(_.seq.head)
+    val df = spark.createDataset(entries).toDF()
+      .withColumn("urlHash", xxhash64(col("url")))
+      .select(fc: _*)
+    (df, entries.map(_.host).toSet)
+  }
+
+  private def initRound0(seeds: Seq[String]): Unit = {
+    val (f0, _) = seedFrontier(seeds)
+    store.write("frontier", 0, f0)
+    store.write("seen_add", 0,
+      f0.select(col("url"), col("urlHash"), lit(0).as("round")))
+    BloomShards.update(spark,
+      store.read("seen_add", 0)
+        .select(BloomShards.shardCol(col("urlHash"), cfg.shards).as("shard"), col("urlHash")),
+      None, store.bloomDir(0), cfg)
+    val n = store.read("frontier", 0).count()
+    store.commit(0, Map("frontier" -> n))
+  }
+
+  /** Run (or resume) the crawl to completion. */
+  def run(seeds: Seq[String]): CrawlOutcome = {
+    val (_, seedHosts) = seedFrontier(seeds)
+    val startRound = store.latestCommitted match {
+      case Some(k) => k
+      case None => initRound0(seeds); 0
+    }
+    var k = startRound
+    var frontierCount = store.committedMeta(k).flatMap(_.get("frontier"))
+      .getOrElse(store.read("frontier", k).count())
+    var rounds = 0
+    while (frontierCount > 0 && k < cfg.maxRounds) {
+      val t0 = System.nanoTime()
+      val frontier = store.read("frontier", k)
+      val seen = store.readUpTo("seen_add", k).select("url", "urlHash")
+      val out = CrawlRound.execute(spark, cfg, k, frontier, pages, robots, seen,
+        Some(store.bloomDir(k)), seedHosts, runners)
+
+      store.write("order", k, out.order)
+      store.write("results", k, out.results)
+      store.write("frontier", k + 1, out.nextFrontier)
+      store.write("seen_add", k + 1,
+        out.fresh.select(col("url"), col("urlHash"), lit(k + 1).as("round")))
+      BloomShards.update(spark,
+        out.fresh.select(BloomShards.shardCol(col("urlHash"), cfg.shards).as("shard"), col("urlHash")),
+        Some(store.bloomDir(k)), store.bloomDir(k + 1), cfg)
+
+      val statRows = out.stats.collect()
+      val byStage = statRows.groupBy(_.getString(1)).view
+        .mapValues(_.map(_.getLong(2)).sum).toMap.withDefaultValue(0L)
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      val lineage = statRows.groupBy(_.getInt(0)).map { case (shard, rows) =>
+        val m = rows.map(r => r.getString(1) -> r.getLong(2)).toMap.withDefaultValue(0L)
+        Lineage(k, shard, m("admitted"), m("fetched"), m("discovered"),
+          m("discovered") - m("fresh"), m("robots_dropped"), m("budget_deferred"),
+          m("errors"), m("retries"), wallMs)
+      }.toSeq
+      store.write("lineage", k, spark.createDataset(lineage).toDF())
+
+      frontierCount = byStage("budget_deferred") + byStage("retries") + byStage("fresh")
+      store.commit(k + 1, Map(
+        "frontier" -> frontierCount,
+        "fetched" -> byStage("fetched"),
+        "discovered" -> byStage("discovered"),
+        "wall_ms" -> wallMs))
+      out.persisted.foreach(_.unpersist())
+      k += 1
+      rounds += 1
+    }
+    CrawlOutcome(store, rounds, k - 1)
+  }
+}

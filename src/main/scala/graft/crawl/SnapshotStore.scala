@@ -1,0 +1,92 @@
+package graft.crawl
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Iceberg-semantics table store without Iceberg (SURVEY.md §7.5 — no
+  * Iceberg/Delta jar exists in the sandbox and egress is disabled).
+  *
+  * Semantics mirrored from Iceberg's snapshot commit protocol at the
+  * granularity the crawl loop needs: immutable per-round data directories +
+  * a single atomically-renamed manifest per round under `_commits/`. A round
+  * is visible iff its manifest exists; a kill mid-round leaves orphan data
+  * dirs that the re-run overwrites. Resume = max committed round
+  * (BASELINE.json:6 "a killed job resumes mid-crawl without re-fetching").
+  *
+  * The crawl loop codes against this class's five-method surface only, so a
+  * real Iceberg catalog binds outside the sandbox via configuration, not
+  * code changes. All IO goes through the Hadoop FileSystem API (local FS
+  * here; HDFS/S3/… on a cluster unchanged).
+  */
+class SnapshotStore(val root: String, spark: SparkSession) {
+
+  private val conf = new Configuration()
+  private def fs(p: Path): FileSystem = p.getFileSystem(conf)
+
+  def tablePath(table: String, round: Int): String = s"$root/$table/round=$round"
+  private def manifest(round: Int) = new Path(s"$root/_commits/round_$round.json")
+
+  /** write one immutable per-round data dir (overwrite = crash re-run) */
+  def write(table: String, round: Int, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(tablePath(table, round))
+
+  /** atomic commit marker: temp file + rename (atomic on one FS) */
+  def commit(round: Int, meta: Map[String, Long]): Unit = {
+    val m = manifest(round)
+    val f = fs(m)
+    f.mkdirs(m.getParent)
+    val tmp = new Path(m.toString + ".tmp")
+    val os = f.create(tmp, true)
+    try {
+      val body = meta.map { case (k, v) => s""""$k":$v""" }.mkString(s"""{"round":$round,""", ",", "}")
+      os.write(body.getBytes("UTF-8"))
+    } finally os.close()
+    f.delete(m, false)
+    f.rename(tmp, m)
+  }
+
+  def committedMeta(round: Int): Option[Map[String, Long]] = {
+    val m = manifest(round)
+    val f = fs(m)
+    if (!f.exists(m)) None
+    else {
+      val is = f.open(m)
+      val body = try scala.io.Source.fromInputStream(is, "UTF-8").mkString finally is.close()
+      val kv = """"([A-Za-z_]+)":(-?\d+)""".r
+      Some(kv.findAllMatchIn(body).map(mm => mm.group(1) -> mm.group(2).toLong).toMap)
+    }
+  }
+
+  def latestCommitted: Option[Int] = {
+    val dir = new Path(s"$root/_commits")
+    val f = fs(dir)
+    if (!f.exists(dir)) None
+    else {
+      val rounds = f.listStatus(dir).map(_.getPath.getName)
+        .collect { case n if n.startsWith("round_") && n.endsWith(".json") =>
+          n.stripPrefix("round_").stripSuffix(".json").toInt }
+      if (rounds.isEmpty) None else Some(rounds.max)
+    }
+  }
+
+  def read(table: String, round: Int): DataFrame =
+    spark.read.parquet(tablePath(table, round))
+
+  /** union of rounds 0..round that exist for `table` (e.g. the incremental
+    * seen-set additions; Iceberg analog: snapshot-as-of read)
+    */
+  def readUpTo(table: String, round: Int): DataFrame = {
+    val paths = (0 to round).map(tablePath(table, _)).filter(p => fs(new Path(p)).exists(new Path(p)))
+    require(paths.nonEmpty, s"no committed data for $table up to round $round")
+    spark.read.parquet(paths: _*)
+  }
+
+  def bloomDir(round: Int): String = s"$root/bloom/round=$round"
+
+  def clear(): Unit = {
+    val p = new Path(root)
+    val f = fs(p)
+    if (f.exists(p)) f.delete(p, true)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.extract
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Link discovery + text extraction. Replaces the reference's PhantomJS
+  * `genericAnchors` finder and DOM-text extraction (SURVEY.md §2 #3/#4) with
+  * Catalyst-planned expressions (BASELINE.json:6 "Catalyst-planned link
+  * extraction").
+  *
+  * Two implementations of ONE spec:
+  *   - pure Scala (used by the sequential reference oracle and the fixture
+  *     generator, which derives the `text` column from `html` so the
+  *     per-row invariant `extractText(html) == text` is byte-identical,
+  *     BASELINE.json:15 / SURVEY.md §7.6)
+  *   - Column expressions built ONLY from codegen'd Spark built-ins
+  *     (regexp_extract_all / regexp_replace) — these stay inside
+  *     whole-stage codegen; no UDF in the hot discovery path.
+  *
+  * The grammar: anchors are double-quoted `<a href="...">`; a redirect page's
+  * whole body is the marker `Location: <target>` (FIXTURES.md B1).
+  */
+object Extract extends Serializable {
+
+  /** Java-regex anchor pattern — IDENTICAL string passed to both the pure
+    * Regex and Spark's regexp_extract_all (both JVM regex, same engine
+    * semantics).
+    */
+  val AnchorPattern: String = "<a\\s+href=\"([^\"]*)\""
+  private val AnchorRe = AnchorPattern.r
+
+  val RedirectPrefix: String = "Location: "
+
+  val TagPattern: String = "<[^>]*>"
+  val WsPattern: String = "\\s+"
+
+  def htmlToString(html: Array[Byte]): String = new String(html, UTF_8)
+
+  def isRedirect(htmlStr: String): Boolean = htmlStr.startsWith(RedirectPrefix)
+
+  /** redirect target (raw, un-canonicalized) or None */
+  def redirectTarget(htmlStr: String): Option[String] =
+    if (isRedirect(htmlStr)) Some(htmlStr.substring(RedirectPrefix.length).trim)
+    else None
+
+  /** hrefs in document order; empty for redirect pages */
+  def extractLinks(htmlStr: String): Vector[String] =
+    if (isRedirect(htmlStr)) Vector.empty
+    else AnchorRe.findAllMatchIn(htmlStr).map(_.group(1)).toVector
+
+  /** html -> text: tags replaced by a space, whitespace runs collapsed to a
+    * single space, trimmed; redirect pages extract to "".
+    */
+  def extractText(htmlStr: String): String =
+    if (isRedirect(htmlStr)) ""
+    else htmlStr.replaceAll(TagPattern, " ").replaceAll(WsPattern, " ").trim
+
+  // ---- Column-level versions (hot path: codegen'd built-ins only) ----
+
+  /** binary html -> string */
+  def htmlStrCol(html: Column): Column = decode(html, "UTF-8")
+
+  def isRedirectCol(htmlStr: Column): Column = htmlStr.startsWith(RedirectPrefix)
+
+  def redirectTargetCol(htmlStr: Column): Column =
+    when(isRedirectCol(htmlStr),
+      trim(substring(htmlStr, RedirectPrefix.length + 1, Int.MaxValue)))
+      .otherwise(lit(null).cast("string"))
+
+  /** array<string> of hrefs in document order (empty for redirects) */
+  def linksCol(htmlStr: Column): Column =
+    when(isRedirectCol(htmlStr), array().cast("array<string>"))
+      .otherwise(regexp_extract_all(htmlStr, lit(AnchorPattern), lit(1)))
+
+  /** Column mirror of [[extractText]] */
+  def textCol(htmlStr: Column): Column =
+    when(isRedirectCol(htmlStr), lit(""))
+      .otherwise(trim(regexp_replace(regexp_replace(htmlStr, TagPattern, " "), WsPattern, " ")))
+}

@@ -1,0 +1,143 @@
+package graft.ref
+
+import scala.collection.mutable
+
+import graft.extract.Extract
+import graft.model._
+import graft.url.{Policy, Urls}
+
+/** Embedded sequential reference model (SURVEY.md §0.4, §5.2.1).
+  *
+  * `/root/reference/` is empty, so this ~130-line pure-Scala crawler IS the
+  * executable transcription of crawlkit's documented semantics
+  * (BASELINE.json:6: same-domain policy, redirect handling, parallelism
+  * limits generalized to per-host politeness budgets, retry-on-error, BFS
+  * FIFO discovery) — the oracle that the distributed Spark loop must match
+  * on BOTH the final URL-seen set and the exact crawl ordering.
+  *
+  * ROUND SPEC (shared by this oracle and graft.crawl.CrawlRound — any edit
+  * here must be mirrored there):
+  *   0. frontier_0 = canonicalized seeds, seed i gets seq=[i], depth 0;
+  *      duplicates dropped; all marked seen at enqueue.
+  *   1. Sort frontier by (depth, seq) lexicographic.
+  *   2. robots filter: drop entries whose host has a matching disallow
+  *      prefix not overridden by a longer/equal allow prefix.
+  *   3. politeness: per host, admit the first `hostBudget` rows in sorted
+  *      order; the rest are deferred unchanged to the next round.
+  *   4. fetch = lookup in the page store. Miss: attempt+1 < maxTries ->
+  *      retry next round, else a `__fetch__` error result.
+  *   5. Hit: the URL enters the crawl order (round, depth, seq).
+  *      Redirect page (html = "Location: <t>"): record a `__redirect__`
+  *      result; if followRedirects, canonicalize target against the page
+  *      URL, apply redirectPolicy, child seq = seq :+ 0, depth+1.
+  *      Normal page: run runners in sorted-key order (results/errors), then
+  *      extract links in document order; link i canonicalizes against the
+  *      page URL, rewrite applies, policy filters (vs seed hosts), depth cap
+  *      applies; child seq = seq :+ i, depth+1.
+  *   6. Candidates dedup: sort by (depth, seq), keep first occurrence per
+  *      URL not already seen; survivors marked seen at enqueue.
+  *   7. frontier_{R+1} = deferred ∪ retries ∪ fresh; stop when empty or
+  *      maxRounds reached.
+  */
+object ReferenceCrawl {
+
+  final case class RefEntry(url: String, host: String, depth: Int, seq: Vector[Long], attempt: Int)
+
+  final case class RefResult(
+      order: Vector[CrawlOrderRow],
+      seen: Set[String],
+      results: Vector[RunnerResult],
+      rounds: Int)
+
+  implicit val seqOrd: Ordering[Seq[Long]] =
+    Ordering.Implicits.seqOrdering[Seq, Long](Ordering.Long)
+  private val entryOrd: Ordering[RefEntry] =
+    Ordering.by((e: RefEntry) => (e.depth, e.seq: Seq[Long]))
+
+  def robotsAllows(rules: Map[String, RobotsRule], url: String, host: String): Boolean =
+    rules.get(host) match {
+      case None => true
+      case Some(r) =>
+        val path = Urls.pathOf(url)
+        val dis = r.disallow.filter(path.startsWith).map(_.length).maxOption.getOrElse(-1)
+        if (dis < 0) true
+        else {
+          val alw = r.allow.filter(path.startsWith).map(_.length).maxOption.getOrElse(-1)
+          alw >= dis
+        }
+    }
+
+  def crawl(
+      pages: Map[String, Page],
+      robots: Seq[RobotsRule],
+      seeds: Seq[String],
+      cfg: CrawlConfig,
+      runners: Map[String, PageRunner] = Map.empty): RefResult = {
+
+    val rules = robots.map(r => r.host -> r).toMap
+    val seen = mutable.HashSet[String]()
+    val order = Vector.newBuilder[CrawlOrderRow]
+    val results = Vector.newBuilder[RunnerResult]
+
+    var frontier: Vector[RefEntry] = seeds.zipWithIndex.flatMap { case (s, i) =>
+      Urls.canonicalizeAbsolute(s).map(u => RefEntry(u, Urls.hostOf(u), 0, Vector(i.toLong), 0))
+    }.filter(e => seen.add(e.url)).toVector
+    val seedHosts = frontier.map(_.host).toSet
+
+    var round = 0
+    while (frontier.nonEmpty && round < cfg.maxRounds) {
+      val sorted = frontier.sorted(entryOrd)
+      val allowed = sorted.filter(e => robotsAllows(rules, e.url, e.host))
+      val hostCount = mutable.HashMap[String, Int]().withDefaultValue(0)
+      val (admitted, deferred) = allowed.partition { e =>
+        val c = hostCount(e.host)
+        hostCount(e.host) = c + 1
+        c < cfg.hostBudget
+      }
+
+      val retries = Vector.newBuilder[RefEntry]
+      val candidates = Vector.newBuilder[RefEntry]
+
+      for (e <- admitted) pages.get(e.url) match {
+        case None =>
+          if (e.attempt + 1 < cfg.maxTries) retries += e.copy(attempt = e.attempt + 1)
+          else results += RunnerResult(e.url, round, "__fetch__", None, Some("fetch-miss"))
+        case Some(p) =>
+          order += CrawlOrderRow(e.url, round, e.depth, e.seq)
+          val htmlStr = Extract.htmlToString(p.html)
+          Extract.redirectTarget(htmlStr) match {
+            case Some(rawTarget) =>
+              results += RunnerResult(e.url, round, "__redirect__", Some(rawTarget), None)
+              if (cfg.followRedirects && e.depth + 1 <= cfg.maxDepth)
+                for (t <- Urls.canonicalize(e.url, rawTarget)) {
+                  val t2 = Policy.rewrite(cfg.rewrite, t)
+                  val h = Urls.hostOf(t2)
+                  if (Policy.allows(cfg.redirectPolicy, t2, h, seedHosts))
+                    candidates += RefEntry(t2, h, e.depth + 1, e.seq :+ 0L, 0)
+                }
+            case None =>
+              for ((k, fn) <- runners.toSeq.sortBy(_._1))
+                results += (fn(p) match {
+                  case Right(v)  => RunnerResult(e.url, round, k, Some(v), None)
+                  case Left(err) => RunnerResult(e.url, round, k, None, Some(err))
+                })
+              if (e.depth + 1 <= cfg.maxDepth) {
+                val links = Extract.extractLinks(htmlStr)
+                for ((href, i) <- links.zipWithIndex; c <- Urls.canonicalize(e.url, href)) {
+                  val c2 = Policy.rewrite(cfg.rewrite, c)
+                  val h = Urls.hostOf(c2)
+                  if (Policy.allows(cfg.policy, c2, h, seedHosts))
+                    candidates += RefEntry(c2, h, e.depth + 1, e.seq :+ i.toLong, 0)
+                }
+              }
+          }
+      }
+
+      val fresh = candidates.result().sorted(entryOrd).filter(c => seen.add(c.url))
+      frontier = deferred ++ retries.result() ++ fresh
+      round += 1
+    }
+
+    RefResult(order.result(), seen.toSet, results.result(), round)
+  }
+}

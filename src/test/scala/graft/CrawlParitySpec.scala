@@ -1,0 +1,133 @@
+package graft
+
+import graft.crawl.{CrawlLoop, SnapshotStore}
+import graft.fixtures.Fixtures
+import graft.fixtures.Fixtures.FixtureConfig
+import graft.model._
+import graft.ref.ReferenceCrawl
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The load-bearing parity suite (BASELINE.json:6): the distributed Spark
+  * crawl must match the sequential reference model on the EXACT crawl
+  * ordering, the final URL-seen set, and all runner results — per scenario,
+  * mirroring the reference test-suite semantics (SURVEY.md §5.1): discovery,
+  * same-domain scoping, urlFilter drop/rewrite, redirect on/off, retry,
+  * politeness/parallelism limits, robots, custom runners.
+  */
+class CrawlParitySpec extends AnyFunSuite {
+  import SparkTestBase.{spark, tmpDir}
+  import spark.implicits._
+
+  object TitleRunner extends PageRunner {
+    def apply(p: Page): Either[String, String] = {
+      val s = new String(p.html, "UTF-8")
+      val m = "<title>([^<]*)</title>".r.findFirstMatchIn(s)
+      m.map(_.group(1)).toRight("no-title")
+    }
+  }
+  object LenRunner extends PageRunner {
+    def apply(p: Page): Either[String, String] =
+      if (p.text.length % 5 == 0) Left(s"len-div5:${p.text.length}")
+      else Right(p.text.length.toString)
+  }
+
+  private def runBoth(
+      name: String,
+      fixCfg: FixtureConfig,
+      cfg: CrawlConfig,
+      seeds: Seq[String],
+      robots: Seq[RobotsRule] = Seq.empty,
+      runners: Map[String, PageRunner] = Map.empty): Unit = {
+    val pages = Fixtures.generate(fixCfg)
+    val ref = ReferenceCrawl.crawl(pages.map(p => p.url -> p).toMap, robots, seeds, cfg, runners)
+    assert(ref.order.nonEmpty, s"$name: oracle crawled nothing — scenario is vacuous")
+
+    val store = new SnapshotStore(tmpDir(s"crawl-$name"), spark)
+    val loop = new CrawlLoop(spark, cfg, spark.createDataset(pages).toDF(),
+      spark.createDataset(robots), runners, store)
+    val out = loop.run(seeds)
+
+    val sparkOrder = out.order(spark).select("url").as[String].collect().toVector
+    assert(sparkOrder === ref.order.map(_.url), s"$name: crawl ORDER diverged")
+    val sparkSeen = out.seen(spark).select("url").as[String].collect().toSet
+    assert(sparkSeen === ref.seen, s"$name: URL-seen SET diverged")
+    val sparkResults = out.results(spark).as[RunnerResult].collect().toSet
+    assert(sparkResults === ref.results.toSet, s"$name: runner results diverged")
+    store.clear()
+  }
+
+  private val fix = FixtureConfig(nHosts = 5, maxPagesPerHost = 20)
+
+  test("discovery: BFS over same-domain links from one seed") {
+    runBoth("discovery", fix, CrawlConfig(), Seq(Fixtures.urlOf(0, 0)))
+  }
+
+  test("multi-seed, same-domain scoping across two hosts") {
+    runBoth("multiseed", fix, CrawlConfig(), Seq(Fixtures.urlOf(0, 0), Fixtures.urlOf(1, 0)))
+  }
+
+  test("allow-all policy crosses domains (bounded by maxDepth)") {
+    runBoth("allowall", fix,
+      CrawlConfig(policy = UrlPolicy.AllowAll, maxDepth = 4), Seq(Fixtures.urlOf(1, 0)))
+  }
+
+  test("politeness: per-host budget defers overflow to later rounds") {
+    runBoth("politeness", fix, CrawlConfig(hostBudget = 2), Seq(Fixtures.urlOf(0, 0)))
+  }
+
+  test("politeness parity holds with salting disabled (single-phase window)") {
+    runBoth("politeness-nosalt", fix,
+      CrawlConfig(hostBudget = 3, saltFactor = 1), Seq(Fixtures.urlOf(0, 0)))
+  }
+
+  test("redirects: not followed by default, followed when enabled") {
+    val redirFix = fix.copy(pctRedirect = 30)
+    runBoth("redirect-off", redirFix, CrawlConfig(followRedirects = false), Seq(Fixtures.urlOf(0, 0)))
+    runBoth("redirect-on", redirFix,
+      CrawlConfig(followRedirects = true, policy = UrlPolicy.AllowAll, maxDepth = 5),
+      Seq(Fixtures.urlOf(0, 0)))
+  }
+
+  test("redirectFilter: redirect targets gated by their own policy") {
+    runBoth("redirect-filter", fix.copy(pctRedirect = 30),
+      CrawlConfig(followRedirects = true, redirectPolicy = UrlPolicy.SameDomain, maxDepth = 5),
+      Seq(Fixtures.urlOf(0, 0)))
+  }
+
+  test("retry-on-error: dangling links retried maxTries then error result") {
+    runBoth("retry", fix.copy(pctDangling = 35), CrawlConfig(maxTries = 3), Seq(Fixtures.urlOf(0, 0)))
+  }
+
+  test("robots: disallow prefixes drop, allow overrides") {
+    val robots = Seq(
+      RobotsRule("h0.test", disallow = Seq("/p/1"), allow = Seq("/p/12"), crawlDelayMs = 0L),
+      RobotsRule("h2.test", disallow = Seq("/"), allow = Seq.empty, crawlDelayMs = 0L))
+    runBoth("robots", fix, CrawlConfig(), Seq(Fixtures.urlOf(0, 0)), robots = robots)
+  }
+
+  test("urlFilter rewrite: prefix rewrite applied before policy") {
+    runBoth("rewrite", fix,
+      CrawlConfig(rewrite = Some(UrlRewrite("http://h1.test/", "http://h0.test/")),
+        policy = UrlPolicy.AllowAll, maxDepth = 4),
+      Seq(Fixtures.urlOf(0, 0)))
+  }
+
+  test("urlFilter deny: path-prefix policy drops URLs") {
+    runBoth("deny", fix,
+      CrawlConfig(policy = UrlPolicy.And(Seq(UrlPolicy.SameDomain, UrlPolicy.DenyPathPrefix(Seq("/p/1"))))),
+      Seq(Fixtures.urlOf(0, 0)))
+  }
+
+  test("runners: results and error propagation per (url, runner)") {
+    runBoth("runners", fix, CrawlConfig(), Seq(Fixtures.urlOf(0, 0)),
+      runners = Map("title" -> TitleRunner, "len" -> LenRunner))
+  }
+
+  test("bloom pre-filter off ≡ on (exactness of the seen set)") {
+    runBoth("nobloom", fix, CrawlConfig(bloomPrefilter = false), Seq(Fixtures.urlOf(0, 0)))
+  }
+
+  test("maxDepth caps discovery") {
+    runBoth("maxdepth", fix, CrawlConfig(maxDepth = 2), Seq(Fixtures.urlOf(0, 0)))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.extract.Extract
+import graft.fixtures.Fixtures
+import graft.fixtures.Fixtures.FixtureConfig
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtractSpec extends AnyFunSuite {
+  import SparkTestBase.spark
+  import spark.implicits._
+
+  test("pure extraction: links in order, redirects, text") {
+    val html = """<html><head><title>t</title></head><body><p>a b</p>""" +
+      """<a href="x">l0</a><a href="/y">l1</a><a href="#f">l2</a></body></html>"""
+    assert(Extract.extractLinks(html) === Vector("x", "/y", "#f"))
+    assert(Extract.extractText(html) === "t a b l0 l1 l2")
+    val redir = "Location: http://h1.test/p/0"
+    assert(Extract.redirectTarget(redir) === Some("http://h1.test/p/0"))
+    assert(Extract.extractLinks(redir).isEmpty)
+    assert(Extract.extractText(redir) === "")
+  }
+
+  test("per-row invariant: extractText(html) == text, byte-identical, over the fixture web") {
+    val cfg = FixtureConfig(nHosts = 6, maxPagesPerHost = 24)
+    val pages = Fixtures.generate(cfg)
+    assert(pages.nonEmpty)
+    pages.foreach { p =>
+      assert(Extract.extractText(Extract.htmlToString(p.html)) === p.text, s"drift at ${p.url}")
+    }
+  }
+
+  test("Column expressions match the pure functions byte-for-byte on every fixture page") {
+    val cfg = FixtureConfig(nHosts = 6, maxPagesPerHost = 24)
+    val pages = Fixtures.generate(cfg)
+    val df = spark.createDataset(pages).toDF()
+      .withColumn("htmlStr", Extract.htmlStrCol(col("html")))
+      .select(
+        col("url"), col("htmlStr"),
+        Extract.textCol(col("htmlStr")).as("colText"),
+        Extract.linksCol(col("htmlStr")).as("colLinks"),
+        Extract.redirectTargetCol(col("htmlStr")).as("colRedir"),
+        col("text"))
+      .collect()
+    assert(df.length === pages.length)
+    df.foreach { r =>
+      val htmlStr = r.getString(1)
+      assert(r.getString(2) === Extract.extractText(htmlStr), s"text drift at ${r.getString(0)}")
+      assert(r.getString(2) === r.getString(5))
+      assert(r.getSeq[String](3) === Extract.extractLinks(htmlStr), s"link drift at ${r.getString(0)}")
+      assert(Option(r.getString(4)) === Extract.redirectTarget(htmlStr))
+    }
+  }
+
+  test("fixture determinism: same config generates identical pages") {
+    val cfg = FixtureConfig(nHosts = 3, maxPagesPerHost = 10)
+    val a = Fixtures.generate(cfg)
+    val b = Fixtures.generate(cfg)
+    assert(a.map(_.url) === b.map(_.url))
+    assert(a.map(p => new String(p.html, "UTF-8")) === b.map(p => new String(p.html, "UTF-8")))
+    // distributed generation matches driver-side generation exactly
+    val ds = Fixtures.generateDS(spark, cfg).collect().sortBy(_.url)
+    val drv = a.sortBy(_.url)
+    assert(ds.map(_.url).toSeq === drv.map(_.url))
+    assert(ds.map(_.text).toSeq === drv.map(_.text))
+  }
+}
