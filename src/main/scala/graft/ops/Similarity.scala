@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Baseline: brute-force cosine top-k (exact, O(n²) — fine for evaluation
+  * sets and as the recall oracle). Scale path: random-hyperplane LSH
+  * bucketing, which turns the n² cross join into an equi-join on bucket
+  * signatures — the only shape that survives 10^8+ rows.
+  *
+  * All math is pure Column expressions (zip_with/aggregate in double
+  * precision) inside whole-stage codegen; no UDF.
+  */
+object Similarity {
+
+  /** dot product of two array<double> columns */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine similarity; inputs cast to double for deterministic math */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** Exact brute-force top-k neighbors for every vector (self-join). */
+  def bruteForceTopK(emb: DataFrame, k: Int = 10,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val l = emb.select(col(idCol).as("id"), col(vecCol).as("va"))
+    val r = emb.select(col(idCol).as("nb"), col(vecCol).as("vb"))
+    val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("nb"))
+    l.crossJoin(r)
+      .filter(col("id") =!= col("nb"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("nb"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** deterministic pseudo-random hyperplane component (splitmix64 → [-1,1)) */
+  private def hyperplane(seed: Long, plane: Int, dim: Int): Double = {
+    var z = seed + plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L
+    z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
+    z ^= z >>> 27; z *= 0x94D049BB133111EBL
+    z ^= z >>> 31
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** sign-bit signature under `nPlanes` fixed hyperplanes -> a long bucket key */
+  def lshBucket(vec: Column, dims: Int, nPlanes: Int = 12, seed: Long = 42L): Column = {
+    val vd = transform(vec, x => x.cast("double"))
+    val bits = (0 until nPlanes).map { p =>
+      val plane = array((0 until dims).map(d => lit(hyperplane(seed, p, d))): _*)
+      when(dot(vd, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate NN: bucket by hyperplane signature (optionally multi-probe
+    * with `tables` independent sign families), top-k within merged buckets.
+    * Recall/latency trade via nPlanes (bucket granularity) and tables.
+    */
+  def annTopK(emb: DataFrame, dims: Int, k: Int = 10, nPlanes: Int = 12, tables: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val withBuckets = emb.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), lshBucket(col(vecCol), dims, nPlanes, seed = 42L + t).as("bkt"))): _*)).as("tb"))
+      .select(col("id"), col("v"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    val l = withBuckets.select(col("t"), col("bkt"), col("id"), col("v").as("va"))
+    val r = withBuckets.select(col("t"), col("bkt"), col("id").as("nb"), col("v").as("vb"))
+    val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("nb"))
+    l.join(r, Seq("t", "bkt"))
+      .filter(col("id") =!= col("nb"))
+      .dropDuplicates("id", "nb")
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("nb"), round(col("sim"), 6).as("sim"))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-quality operators for training-data pipelines: language-ID
+  * (stopword/n-gram heuristic), quality scoring, token counting, and
+  * winnowing document fingerprints. Quality/token ops are pure Column
+  * expressions (codegen); langid and fingerprinting are compact Scala UDFs
+  * over the text payload.
+  */
+object TextAnalysis {
+
+  // ---------- language id (stopword-hit heuristic) ----------
+
+  private val StopwordSets: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"),
+    "fr" -> Set("le", "la", "les", "et", "est", "une", "pas", "pour", "que", "dans"),
+    "es" -> Set("el", "los", "las", "es", "una", "por", "con", "para", "del", "como"))
+
+  /** predict language from stopword hits; CJK codepoint share triggers "zh";
+    * "und" (undetermined) when nothing matches
+    */
+  val langIdUdf = udf { (text: String) =>
+    if (text == null || text.isEmpty) "und"
+    else {
+      val cjk = text.codePoints().toArray.count(cp =>
+        (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3040 && cp <= 0x30FF))
+      if (cjk * 4 >= text.length) "zh"
+      else {
+        val toks = text.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+        if (toks.isEmpty) "und"
+        else {
+          val scores = StopwordSets.map { case (lang, sw) => lang -> toks.count(sw.contains) }
+          val (best, hits) = scores.maxBy { case (l, n) => (n, l) }
+          if (hits == 0) "und" else best
+        }
+      }
+    }
+  }
+
+  def langId(text: Column): Column = langIdUdf(text)
+
+  // ---------- quality score (pure Column, SQL-oracle-able) ----------
+
+  /** explicit HALF_UP at 4 decimals via floor — identical IEEE double ops in
+    * Spark and DuckDB, so oracle comparison is bit-stable even on exact
+    * .xxxx5 boundaries where engines' round() rules differ
+    */
+  def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+
+
+  /** length / punctuation-ratio / stopword-ratio / mean-word-length features
+    * combined into a [0,1] quality score. All codegen'd built-ins.
+    */
+  def qualityFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val words = split(t, "\\s+")
+    val nWords = size(words)
+    val punct = nChars - length(regexp_replace(t, "[.,;:!?]", ""))
+    val stopHits = size(filter(words, w =>
+      lower(w).isin("the", "and", "of", "to", "in", "a", "is", "that")))
+    docs
+      .withColumn("n_words", nWords)
+      .withColumn("punct_ratio", r4(punct.cast("double") / nChars))
+      .withColumn("stopword_ratio", r4(stopHits.cast("double") / nWords))
+      .withColumn("mean_word_len",
+        r4((nChars - nWords + 1).cast("double") / nWords))
+  }
+
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame =
+    qualityFeatures(docs, textCol).withColumn("quality",
+      r4(
+        least(lit(1.0), col("n_words").cast("double") / 64.0) * 0.4 +
+          (lit(1.0) - least(lit(1.0), col("punct_ratio") * 5)) * 0.2 +
+          least(lit(1.0), col("stopword_ratio") * 4) * 0.2 +
+          (lit(1.0) - least(lit(1.0), abs(col("mean_word_len") - 5.0) / 5.0)) * 0.2))
+
+  // ---------- token counting ----------
+
+  /** whitespace token count (codegen) */
+  def wsTokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword count: word chars in runs of <=4 + punctuation singles —
+    * a deterministic proxy for tokenizer cost accounting
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w{1,4}|[^\\w\\s]"), lit(0)))
+
+  // ---------- document fingerprint (winnowing, Schleimer et al. 2003) ----------
+
+  /** Rolling-hash winnowing fingerprint: k-gram Rabin hashes, window minima.
+    * Returns a sorted distinct array<long>. UDF by design: a tight rolling
+    * loop has no built-in equivalent; output is tiny vs the text input.
+    */
+  def fingerprintUdf(k: Int = 5, window: Int = 4) = udf { (text: String) =>
+    if (text == null || text.length < k) Array.empty[Long]
+    else {
+      val s = text.toLowerCase
+      val B = 1000000007L
+      var pow = 1L
+      (1 until k).foreach(_ => pow = pow * B)
+      val hashes = new Array[Long](s.length - k + 1)
+      var h = 0L
+      var i = 0
+      while (i < s.length) {
+        h = h * B + s.charAt(i)
+        if (i >= k) h -= pow * B * s.charAt(i - k)
+        if (i >= k - 1) hashes(i - k + 1) = h
+        i += 1
+      }
+      val out = scala.collection.mutable.SortedSet[Long]()
+      var w = 0
+      while (w + window <= hashes.length) {
+        var m = hashes(w)
+        var j = 1
+        while (j < window) { if (hashes(w + j) < m) m = hashes(w + j); j += 1 }
+        out += m
+        w += 1
+      }
+      out.toArray
+    }
+  }
+}
