@@ -186,19 +186,15 @@ object SparkEntry {
     "qd_embed_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val twins = e.unionByName(e.withColumn("vec_id", col("vec_id") + 10000L))
-      val l = twins.select(col("vec_id").as("a"), col("embedding").as("va"))
-      val r = twins.select(col("vec_id").as("b"), col("embedding").as("vb"))
-      l.join(r, col("a") < col("b"))
-        .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
-        .filter(col("sim") >= 0.9999)
-        .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
-        .orderBy("a", "b")
+      Similarity.nearDupPairs(twins, dims = 64, threshold = 0.9999).orderBy("a", "b")
     }),
     "qd_knn_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), k = 5)
         .orderBy("id", "rank")),
     "qd_ann_lsh" -> ((s, dir) =>
-      Similarity.annTopK(t(s, dir, "embeddings"), dims = 64, k = 5)
+      // nPlanes sizes buckets to ~n/2^p vectors; 7 planes fits the 500-5000
+      // vector testdata (at web scale nPlanes grows ~log2(n))
+      Similarity.annTopK(t(s, dir, "embeddings"), dims = 64, k = 5, nPlanes = 7, tables = 8)
         .orderBy("id", "rank")),
     "qd_langid" -> ((s, dir) =>
       t(s, dir, "documents")

@@ -42,6 +42,8 @@ class CrawlLoop(
 
   import spark.implicits._
   private val fc = CrawlRound.FrontierCols.map(col)
+  // one action at loop construction, not one per round
+  private lazy val robotsEmpty: Boolean = robots.isEmpty
 
   /** canonicalize + dedupe seeds driver-side (a seed list is tiny) */
   private def seedFrontier(seeds: Seq[String]): (DataFrame, Set[String]) = {
@@ -85,17 +87,14 @@ class CrawlLoop(
       val t0 = System.nanoTime()
       val frontier = store.read("frontier", k)
       val seen = store.readUpTo("seen_add", k).select("url", "urlHash")
-      val out = CrawlRound.execute(spark, cfg, k, frontier, pages, robots, seen,
-        Some(store.bloomDir(k)), seedHosts, runners)
+      val out = CrawlRound.execute(spark, cfg, k, frontier, frontierCount, pages,
+        robots, robotsEmpty, seen, Some(store.bloomDir(k)), seedHosts, runners)
 
       store.write("order", k, out.order)
       store.write("results", k, out.results)
       store.write("frontier", k + 1, out.nextFrontier)
       store.write("seen_add", k + 1,
         out.fresh.select(col("url"), col("urlHash"), lit(k + 1).as("round")))
-      BloomShards.update(spark,
-        out.fresh.select(BloomShards.shardCol(col("urlHash"), cfg.shards).as("shard"), col("urlHash")),
-        Some(store.bloomDir(k)), store.bloomDir(k + 1), cfg)
 
       val statRows = out.stats.collect()
       val byStage = statRows.groupBy(_.getString(1)).view
@@ -108,6 +107,15 @@ class CrawlLoop(
           m("errors"), m("retries"), wallMs)
       }.toSeq
       store.write("lineage", k, spark.createDataset(lineage).toDF())
+
+      if (byStage("fresh") > 0)
+        BloomShards.update(spark,
+          out.fresh.select(BloomShards.shardCol(col("urlHash"), cfg.shards).as("shard"), col("urlHash")),
+          Some(store.bloomDir(k)), store.bloomDir(k + 1), cfg)
+      else
+        BloomShards.update(spark, out.fresh.limit(0)
+          .select(BloomShards.shardCol(col("urlHash"), cfg.shards).as("shard"), col("urlHash")),
+          Some(store.bloomDir(k)), store.bloomDir(k + 1), cfg)
 
       frontierCount = byStage("budget_deferred") + byStage("retries") + byStage("fresh")
       store.commit(k + 1, Map(

@@ -41,8 +41,10 @@ object CrawlRound {
       cfg: CrawlConfig,
       round: Int,
       frontier: DataFrame,
+      frontierCount: Long,
       pages: DataFrame,
       robots: Dataset[RobotsRule],
+      robotsEmpty: Boolean,
       seen: DataFrame, // url, urlHash
       bloomDirPrev: Option[String],
       seedHosts: Set[String],
@@ -51,10 +53,11 @@ object CrawlRound {
 
     val fc = FrontierCols.map(col)
     val f = frontier.select(fc: _*).persist(StorageLevel.MEMORY_AND_DISK)
-    val fCount = f.count()
+    val fCount = frontierCount
 
     // 1-2. robots filter (broadcast join, no shuffle)
-    val (allowed, robotsDropped) = Robots.partition(f, robots)
+    val (allowed, robotsDropped) =
+      if (robotsEmpty) (f, f.limit(0)) else Robots.partition(f, robots)
 
     // 3. per-host politeness budget (host-hash-partitioned PQ, secondary sort)
     val (admitted0, deferred) = Politeness.partition(allowed, cfg)

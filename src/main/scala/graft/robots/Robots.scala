@@ -29,7 +29,6 @@ object Robots {
 
   /** Split `frontier` (needs url + host columns) into (allowed, dropped). */
   def partition(frontier: DataFrame, robots: Dataset[RobotsRule]): (DataFrame, DataFrame) = {
-    if (robots.isEmpty) return (frontier, frontier.limit(0))
     val joined = frontier
       .join(broadcast(robots.toDF()), Seq("host"), "left")
       .withColumn("__allowed",

@@ -1,0 +1,145 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit specs for the training-data pipeline operators, on planted inputs
+  * with known answers (the DuckDB harness covers them on real testdata).
+  */
+class OpsSpec extends AnyFunSuite {
+  import SparkTestBase.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different content about spark shuffles and partition pruning strategies"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (4L, "unrelated short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup finds the planted duplicate group and keeps min id") {
+    val groups = Dedup.exactDupGroups(docs).collect()
+    assert(groups.length === 1)
+    assert(groups(0).getAs[Long]("n") === 2)
+    assert(groups(0).getAs[Long]("keep") === 0L)
+    assert(Dedup.exactDedup(docs).count() === 4)
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated pairs") {
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)), "exact dup must be found (identical signatures)")
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L)), "near dup should collide in some band")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc must not pair")
+    val j = Dedup.minhashNearDups(docs, threshold = 0.5)
+      .filter(col("a") === 0 && col("b") === 3).select("jaccard").as[Double].head()
+    assert(j === 1.0)
+  }
+
+  test("simhash: identical texts at hamming 0; unrelated text far") {
+    val pairs = Dedup.simhashNearDups(docs, maxHamming = 3)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 0))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("ngram jaccard near-dups") {
+    val pairs = Dedup.ngramJaccardNearDups(docs, threshold = 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(pairs.contains((0L, 1L)), "one-word-suffix change keeps char-3gram jaccard high")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+  private val embs = Seq(
+    (0L, vec(1, 0, 0, 0)), (1L, vec(0.99, 0.1, 0, 0)), (2L, vec(0, 1, 0, 0)),
+    (3L, vec(0, 0.98, 0.2, 0)), (4L, vec(0, 0, 1, 0)), (5L, vec(1, 0, 0, 0))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force knn: nearest neighbor is the planted twin/closest vector") {
+    val top1 = Similarity.bruteForceTopK(embs, k = 1)
+      .select("id", "nb").as[(Long, Long)].collect().toMap
+    assert(top1(0L) === 5L) // identical vector
+    assert(top1(5L) === 0L)
+    assert(top1(2L) === 3L)
+  }
+
+  test("ann LSH recall vs brute force on real embeddings (sf0.001)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(e, k = 5)
+      .select("id", "nb").as[(Long, Long)].collect().toSet
+    val approx = Similarity.annTopK(e, dims = 64, k = 5, nPlanes = 6, tables = 8)
+      .select("id", "nb").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.25, f"ANN recall@5 too low: $recall%.3f")
+  }
+
+  test("embedding near-dup pairs via LSH buckets find identical vectors") {
+    val pairs = Similarity.nearDupPairs(embs, dims = 4, threshold = 0.9999)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 5L)))
+  }
+
+  test("langid on real sentences per language") {
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it was happy"),
+      ("de", "der hund und die katze sind nicht auf der couch"),
+      ("fr", "le chien est dans la maison et le chat dort pas"),
+      ("es", "el perro es grande y los gatos son pequeños como una casa"),
+      ("zh", "今天天气很好我们一起去公园散步吧然后吃饭"),
+      ("und", "xyzzy plugh qwerty"))
+    for ((expect, text) <- samples) {
+      val got = Seq(text).toDF("text").select(TextAnalysis.langId(col("text"))).as[String].head()
+      assert(got === expect, s"langid('$text')")
+    }
+  }
+
+  test("token counts and quality are sane") {
+    val r = TextAnalysis.qualityScore(Seq((0L, "the cat sat. the dog ran!")).toDF("doc_id", "text"))
+      .select("n_words", "punct_ratio", "quality").collect()(0)
+    assert(r.getInt(0) === 6)
+    assert(r.getDouble(1) > 0.0)
+    val q = r.getDouble(2)
+    assert(q > 0.0 && q <= 1.0)
+    val tc = Seq(Tuple1("a bb ccc dddd eeeee!")).toDF("text")
+      .select(TextAnalysis.wsTokenCount(col("text")).as("ws"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bp")).collect()(0)
+    assert(tc.getInt(0) === 5)
+    assert(tc.getInt(1) === 7) // a|bb|ccc|dddd|eeee|e|!
+  }
+
+  test("winnowing fingerprints: shared content shares fingerprints, determinism") {
+    val fps = docs.select(col("doc_id"), TextAnalysis.fingerprintUdf()(col("text")).as("fp"))
+      .as[(Long, Array[Long])].collect().toMap
+    assert(fps(0L).toSeq === fps(3L).toSeq, "identical docs -> identical fingerprints")
+    val shared01 = fps(0L).toSet.intersect(fps(1L).toSet).size.toDouble / fps(0L).length
+    assert(shared01 > 0.7, s"near-dup docs should share most fingerprints ($shared01)")
+    val shared02 = fps(0L).toSet.intersect(fps(2L).toSet).size.toDouble / fps(0L).length
+    assert(shared02 < 0.3, s"unrelated docs should share few fingerprints ($shared02)")
+  }
+
+  test("multimodal decode batch: deterministic stub metadata, binary plumbing") {
+    val media = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val metas = Multimodal.decodeBatch(spark, media).collect().sortBy(_.doc_id)
+    assert(metas.length === 5)
+    val m0 = metas(0)
+    val len0 = "the quick brown fox jumps over the lazy dog near the river bank today".getBytes("UTF-8").length
+    assert(m0.byte_len === len0)
+    assert(m0.width === 64 + len0 % 64 && m0.height === 64 + len0 % 37)
+    val plan = Multimodal.frameSamplePlan(Multimodal.decodeBatch(spark, media).toDF())
+    val fr = plan.filter(col("doc_id") === 0).select("sampled_frames").as[Seq[Int]].head()
+    assert(fr.nonEmpty && fr.head === 0)
+  }
+
+  test("custom DotProduct expression matches HOF formulation bit-for-bit") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val custom = df.select(graft.functions.DotProduct.dot_product(col("a"), col("b"))).as[Double].head()
+    val hof = df.select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)).as[Double].head()
+    assert(custom === 32.0)
+    assert(custom === hof)
+  }
+}
