@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// ad-hoc JVM flag injection for forked run/test JVMs (GC experiments etc.)
+javaOptions ++= sys.env.get("GRAFT_JVM_FLAGS").map(_.trim.split("\\s+").toSeq).getOrElse(Seq.empty)

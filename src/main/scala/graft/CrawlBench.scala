@@ -19,18 +19,70 @@ import org.apache.spark.sql.functions._
   * "discovered":D,"wall_sec":W,"throughput":(F+D)/W,...}
   */
 object CrawlBench {
+
+  /** job+stage wall/cpu/gc profile, enabled via GRAFT_PROFILE=1 */
+  final class StageProfiler extends org.apache.spark.scheduler.SparkListener {
+    import org.apache.spark.scheduler._
+    final case class S(runMs: Long, cpuMs: Long, gcMs: Long, tasks: Int,
+        shufRead: Long, shufWrite: Long, site: String)
+    val stages = scala.collection.mutable.ArrayBuffer[S]()
+    val jobStart = scala.collection.mutable.HashMap[Int, (Long, String)]()
+    val jobs = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+      val m = e.stageInfo.taskMetrics
+      val site = e.stageInfo.details.linesIterator
+        .find(l => l.contains("graft.") || l.contains("SnapshotStore"))
+        .getOrElse(e.stageInfo.details.linesIterator.take(2).mkString("|")).trim.take(80)
+      stages += S(m.executorRunTime, m.executorCpuTime / 1000000,
+        m.jvmGCTime, e.stageInfo.numTasks,
+        m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten, site)
+    }
+    override def onJobStart(e: SparkListenerJobStart): Unit = {
+      val site = Option(e.properties.getProperty("callSite.short")).getOrElse("?")
+      jobStart(e.jobId) = (System.nanoTime(), site)
+    }
+    override def onJobEnd(e: SparkListenerJobEnd): Unit =
+      jobStart.remove(e.jobId).foreach { case (t0, site) =>
+        jobs += ((site, (System.nanoTime() - t0) / 1000000))
+      }
+    def report(): Unit = {
+      println(f"== totals: run=${stages.map(_.runMs).sum}%d ms cpu=${stages.map(_.cpuMs).sum}%d ms " +
+        f"gc=${stages.map(_.gcMs).sum}%d ms tasks=${stages.map(_.tasks).sum}%d " +
+        f"shufRead=${stages.map(_.shufRead).sum / 1048576}%d MB shufWrite=${stages.map(_.shufWrite).sum / 1048576}%d MB")
+      println("== top stage callsites by cpu ms (cpu, run, gc, tasks, site):")
+      stages.groupBy(_.site).map { case (site, ss) =>
+        (ss.map(_.cpuMs).sum, ss.map(_.runMs).sum, ss.map(_.gcMs).sum,
+          ss.map(_.tasks).sum, site)
+      }.toSeq.sortBy(-_._1).take(15).foreach { case (cpu, run, gc, t, site) =>
+        println(f"  $cpu%8d $run%8d $gc%8d $t%6d $site")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val nHosts = args.lift(0).map(_.toInt).getOrElse(64)
     val maxPages = args.lift(1).map(_.toInt).getOrElse(100000)
     val links = args.lift(2).map(_.toInt).getOrElse(8)
     val maxRounds = args.lift(3).map(_.toInt).getOrElse(8)
     val budget = args.lift(4).map(_.toInt).getOrElse(maxPages)
+    // 0 = always sort-merge/shuffle join (the at-scale shape); >0 = broadcast
+    // the frontier below this row count (the small-frontier shape)
+    val bcastRows = args.lift(5).map(_.toLong).getOrElse(0L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // real-cluster shape: SPARK_GRAFT_MASTER=local-cluster[4,8,16384] spawns
+    // separate executor JVMs (the form the north rule's N vs 4N executors
+    // actually takes); default stays single-JVM local[cpus]
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
 
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .appName(s"graft-crawl-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.executor.memory", sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "8g"))
+      .config("spark.executor.extraClassPath", classesDir)
+      .config("spark.sql.inMemoryColumnarStorage.batchSize", sys.env.getOrElse("GRAFT_CACHE_BATCH", "10000"))
+      .config("spark.sql.parquet.columnarReaderBatchSize", sys.env.getOrElse("GRAFT_SCAN_BATCH", "4096"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -38,6 +90,9 @@ object CrawlBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+    val profiler = if (sys.env.contains("GRAFT_PROFILE")) {
+      val p = new StageProfiler; spark.sparkContext.addSparkListener(p); Some(p)
+    } else None
 
     val fix = FixtureConfig(nHosts = nHosts, maxPagesPerHost = maxPages,
       linksPerPage = links, pctCrossDomain = 20, pctRedirect = 4, pctDangling = 4)
@@ -58,8 +113,9 @@ object CrawlBench {
       policy = UrlPolicy.AllowAll,
       hostBudget = budget,
       maxRounds = maxRounds,
-      shards = cpus.toInt,
-      bloomExpectedPerShard = math.max(1L << 16, 4L * nPages / cpus.toInt))
+      shards = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus).toInt,
+      broadcastFrontierMaxRows = bcastRows,
+      bloomExpectedPerShard = math.max(1L << 16, 4L * nPages / sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus).toInt))
     val seeds = (0 until nHosts).map(h => Fixtures.urlOf(h, 0L))
     val loop = new CrawlLoop(spark, cfg, pages, spark.emptyDataset[RobotsRule], Map.empty, store)
 
@@ -73,9 +129,22 @@ object CrawlBench {
     val fetched = lin.getLong(0); val discovered = lin.getLong(1)
     val deduped = lin.getLong(2); val errors = lin.getLong(3); val retries = lin.getLong(4)
     val thr = (fetched + discovered) / wall
+
+    // steady-state throughput (SURVEY.md §7.7): the big BFS-wave rounds only.
+    // Tail/warmup rounds are fixed per-round overhead that any real 10^10
+    // crawl amortizes away; include rounds doing >=10% of the peak round's work
+    val perRound = out.lineage(spark).groupBy("round")
+      .agg(sum(col("fetched") + col("discovered")).as("work"), max("wallMs").as("wallMs"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val peak = perRound.map(_._1).max
+    val steady = perRound.filter(_._1 >= peak / 10)
+    val steadyThr = steady.map(_._1).sum.toDouble / (steady.map(_._2).sum.toDouble / 1000.0)
+
     println(s"""{"bench":"crawl","cpus":$cpus,"pages":$nPages,"rounds":${out.roundsRun},""" +
       s""""fetched":$fetched,"discovered":$discovered,"deduped":$deduped,"errors":$errors,""" +
-      s""""retries":$retries,"wall_sec":${f"$wall%.2f"},"throughput_urls_per_sec":${f"$thr%.1f"}}""")
+      s""""retries":$retries,"wall_sec":${f"$wall%.2f"},"throughput_urls_per_sec":${f"$thr%.1f"},""" +
+      s""""steady_rounds":${steady.length},"steady_throughput_urls_per_sec":${f"$steadyThr%.1f"}}""")
+    profiler.foreach(_.report())
     store.clear()
     spark.stop()
   }

@@ -3,6 +3,10 @@ package graft.crawl
 import graft.filterset.BloomShards
 import graft.model._
 import graft.url.Urls
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration.Duration
+import scala.concurrent.ExecutionContext.Implicits.global
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -72,6 +76,17 @@ class CrawlLoop(
     store.commit(0, Map("frontier" -> n))
   }
 
+  private val timing = sys.env.contains("GRAFT_TIMING")
+  private def timed[T](round: Int, phase: String)(body: => T): T = {
+    if (!timing) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[timing] r$round $phase ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+  }
+
   /** Run (or resume) the crawl to completion. */
   def run(seeds: Seq[String]): CrawlOutcome = {
     val (_, seedHosts) = seedFrontier(seeds)
@@ -90,13 +105,25 @@ class CrawlLoop(
       val out = CrawlRound.execute(spark, cfg, k, frontier, frontierCount, pages,
         robots, robotsEmpty, seen, Some(store.bloomDir(k)), seedHosts, runners)
 
-      store.write("order", k, out.order)
-      store.write("results", k, out.results)
-      store.write("frontier", k + 1, out.nextFrontier)
-      store.write("seen_add", k + 1,
-        out.fresh.select(col("url"), col("urlHash"), lit(k + 1).as("round")))
-
-      val statRows = out.stats.collect()
+      // ONE pass computes the whole round into the per-round caches...
+      timed(k, "materialize") { out.fresh.count() }
+      // ...then the independent output jobs run CONCURRENTLY (they only
+      // read caches + small recomputes); the round barrier is the await
+      val outputs = Seq[(String, () => Unit)](
+        "write.order" -> (() => store.write("order", k, out.order)),
+        "write.results" -> (() => store.write("results", k, out.results)),
+        "write.frontier" -> (() => store.write("frontier", k + 1, out.nextFrontier)),
+        "write.seen" -> (() => store.write("seen_add", k + 1,
+          out.fresh.select(col("url"), col("urlHash"), lit(k + 1).as("round")))),
+        "bloom.update" -> (() => BloomShards.update(spark,
+          out.fresh.select(BloomShards.shardCol(col("urlHash"), cfg.shards).as("shard"), col("urlHash")),
+          Some(store.bloomDir(k)), store.bloomDir(k + 1), cfg)))
+      val statsF = Future(out.stats.collect())
+      val outputF = Future.traverse(outputs) { case (name, job) =>
+        Future(timed(k, name)(job()))
+      }
+      val statRows = timed(k, "stats.collect") { Await.result(statsF, Duration.Inf) }
+      timed(k, "outputs.await") { Await.result(outputF, Duration.Inf) }
       val byStage = statRows.groupBy(_.getString(1)).view
         .mapValues(_.map(_.getLong(2)).sum).toMap.withDefaultValue(0L)
       val wallMs = (System.nanoTime() - t0) / 1000000L
@@ -107,15 +134,6 @@ class CrawlLoop(
           m("errors"), m("retries"), wallMs)
       }.toSeq
       store.write("lineage", k, spark.createDataset(lineage).toDF())
-
-      if (byStage("fresh") > 0)
-        BloomShards.update(spark,
-          out.fresh.select(BloomShards.shardCol(col("urlHash"), cfg.shards).as("shard"), col("urlHash")),
-          Some(store.bloomDir(k)), store.bloomDir(k + 1), cfg)
-      else
-        BloomShards.update(spark, out.fresh.limit(0)
-          .select(BloomShards.shardCol(col("urlHash"), cfg.shards).as("shard"), col("urlHash")),
-          Some(store.bloomDir(k)), store.bloomDir(k + 1), cfg)
 
       frontierCount = byStage("budget_deferred") + byStage("retries") + byStage("fresh")
       store.commit(k + 1, Map(

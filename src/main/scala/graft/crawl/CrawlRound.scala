@@ -6,7 +6,7 @@ import graft.model._
 import graft.robots.Robots
 import graft.sched.Politeness
 import graft.url.{Policy, UrlFunctions}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -50,6 +50,9 @@ object CrawlRound {
       seedHosts: Set[String],
       runners: Map[String, PageRunner]): RoundOut = {
     import spark.implicits._
+    val noCache = sys.env.contains("GRAFT_NO_PERSIST")
+    def maybePersist(df: DataFrame): DataFrame =
+      if (noCache) df else df.persist(StorageLevel.MEMORY_AND_DISK)
 
     val fc = FrontierCols.map(col)
     val f = frontier.select(fc: _*).persist(StorageLevel.MEMORY_AND_DISK)
@@ -60,27 +63,37 @@ object CrawlRound {
       if (robotsEmpty) (f, f.limit(0)) else Robots.partition(f, robots)
 
     // 3. per-host politeness budget (host-hash-partitioned PQ, secondary sort)
-    val (admitted0, deferred) = Politeness.partition(allowed, cfg)
+    val (admitted0, deferred0) = Politeness.partition(allowed, cfg)
     val admitted = admitted0.select(fc: _*).persist(StorageLevel.MEMORY_AND_DISK)
+    val deferred = maybePersist(deferred0.select(fc: _*))
 
     // 4. the "fetch": join against the page store. The store is the big
     // streamed side; the frontier broadcasts when small (BASELINE.json:6).
     val admittedJ = if (fCount <= cfg.broadcastFrontierMaxRows) broadcast(admitted) else admitted
+    // prune the cached fetch payload: runners need the full Page, otherwise
+    // only the decoded html survives (halves the per-round cache churn)
+    val pageCols =
+      if (runners.nonEmpty) Seq(col("warc_ts"), col("html"), col("text"), col("lang"))
+      else Seq.empty
+    // link extraction runs INSIDE the join stage, before the cache: what is
+    // cached per hit is the small (redir, links[]) pair, never the ~KB html
+    // payload — the cache is the round's hottest memory traffic
     val hits = pages
       .join(admittedJ, Seq("url"), "inner")
-      .select((fc :+ col("warc_ts") :+ col("html") :+ col("text") :+ col("lang")): _*)
       .withColumn("htmlStr", Extract.htmlStrCol(col("html")))
       .withColumn("redir", Extract.redirectTargetCol(col("htmlStr")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumn("links", Extract.linksCol(col("htmlStr")))
+      .select((fc ++ pageCols :+ col("redir") :+ col("links")): _*)
+      .transform(maybePersist)
 
     val hitUrls = hits.select("url")
     val misses = admitted.join(
       if (fCount <= cfg.broadcastFrontierMaxRows) broadcast(hitUrls) else hitUrls,
       Seq("url"), "left_anti")
-    val retries = misses
+    val retries = maybePersist(misses
       .filter(col("attempt") + 1 < cfg.maxTries)
       .withColumn("attempt", col("attempt") + 1)
-      .select(fc: _*)
+      .select(fc: _*))
     val exhausted = misses.filter(col("attempt") + 1 >= cfg.maxTries)
 
     // 5. crawl order rows for every successful fetch
@@ -112,67 +125,89 @@ object CrawlRound {
       }
     val results = errResults.unionByName(redirResults).unionByName(runnerResults)
 
-    // 5b. discovery: Catalyst-planned link extraction (codegen'd built-ins)
-    val linkCand = hits
-      .filter(col("redir").isNull && lit(cfg.maxDepth) >= col("depth") + 1)
-      .select(col("url").as("parentUrl"), col("depth"), col("seq"),
-        posexplode(Extract.linksCol(col("htmlStr"))).as(Seq("pos", "href")))
-      .withColumn("curl0", UrlFunctions.canonicalize(col("parentUrl"), col("href")))
-      .filter(col("curl0").isNotNull)
-      .withColumn("curl", Policy.rewriteCol(cfg.rewrite, col("curl0")))
-      .withColumn("chost", UrlFunctions.hostOfUdf(col("curl")))
-      .filter(Policy.allowsCol(cfg.policy, col("curl"), col("chost"), seedHosts))
-      .select(col("curl").as("url"), xxhash64(col("curl")).as("urlHash"),
-        col("chost").as("host"), (col("depth") + 1).as("depth"),
-        concat(col("seq"), array(col("pos").cast("long"))).as("seq"),
-        lit(0).as("attempt"))
+    // 5b. discovery: Catalyst-planned link extraction (codegen'd built-ins);
+    // canonicalize+host is ONE UDF pass (the only UDF on the hot path)
+    def canonHost(base: Column, raw: Column): (Column, Column) = cfg.rewrite match {
+      case None => (col("ch._1"), col("ch._2"))
+      case Some(_) =>
+        val c = Policy.rewriteCol(cfg.rewrite, col("ch._1"))
+        (c, UrlFunctions.hostOfUdf(c))
+    }
+    val linkCand = {
+      val (curl, chost) = canonHost(col("parentUrl"), col("href"))
+      hits
+        .filter(col("redir").isNull && lit(cfg.maxDepth) >= col("depth") + 1)
+        .select(col("url").as("parentUrl"), col("depth"), col("seq"),
+          posexplode(col("links")).as(Seq("pos", "href")))
+        .withColumn("ch", UrlFunctions.canonicalizeWithHost(col("parentUrl"), col("href")))
+        .filter(col("ch").isNotNull)
+        .withColumn("curl", curl)
+        .withColumn("chost", chost)
+        .filter(Policy.allowsCol(cfg.policy, col("curl"), col("chost"), seedHosts))
+        .select(col("curl").as("url"), xxhash64(col("curl")).as("urlHash"),
+          col("chost").as("host"), (col("depth") + 1).as("depth"),
+          concat(col("seq"), array(col("pos").cast("long"))).as("seq"),
+          lit(0).as("attempt"))
+    }
 
     val redirCand =
       if (!cfg.followRedirects) linkCand.limit(0)
-      else hits
-        .filter(col("redir").isNotNull && lit(cfg.maxDepth) >= col("depth") + 1)
-        .withColumn("curl0", UrlFunctions.canonicalize(col("url"), col("redir")))
-        .filter(col("curl0").isNotNull)
-        .withColumn("curl", Policy.rewriteCol(cfg.rewrite, col("curl0")))
-        .withColumn("chost", UrlFunctions.hostOfUdf(col("curl")))
-        .filter(Policy.allowsCol(cfg.redirectPolicy, col("curl"), col("chost"), seedHosts))
-        .select(col("curl").as("url"), xxhash64(col("curl")).as("urlHash"),
-          col("chost").as("host"), (col("depth") + 1).as("depth"),
-          concat(col("seq"), array(lit(0L))).as("seq"),
-          lit(0).as("attempt"))
+      else {
+        val (curl, chost) = canonHost(col("url"), col("redir"))
+        hits
+          .filter(col("redir").isNotNull && lit(cfg.maxDepth) >= col("depth") + 1)
+          .withColumn("ch", UrlFunctions.canonicalizeWithHost(col("url"), col("redir")))
+          .filter(col("ch").isNotNull)
+          .withColumn("curl", curl)
+          .withColumn("chost", chost)
+          .filter(Policy.allowsCol(cfg.redirectPolicy, col("curl"), col("chost"), seedHosts))
+          .select(col("curl").as("url"), xxhash64(col("curl")).as("urlHash"),
+            col("chost").as("host"), (col("depth") + 1).as("depth"),
+            concat(col("seq"), array(lit(0L))).as("seq"),
+            lit(0).as("attempt"))
+      }
 
-    val candidates = linkCand.unionByName(redirCand).persist(StorageLevel.MEMORY_AND_DISK)
+    val candidates = linkCand.unionByName(redirCand)
 
-    // 6. dedup: within-round winner = min (depth, seq) per url, then the
-    // EXACT anti-join vs the seen set; bloom shards pre-filter so rows the
-    // filter proves unseen skip the anti-join shuffle entirely.
-    val winner = Window.partitionBy(col("url")).orderBy(col("depth"), col("seq"))
-    val winnowed = candidates
-      .withColumn("__rn", row_number().over(winner))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    // 6. dedup: within-round winner = min (depth, seq) per url — a hash
+    // aggregate, NOT a window: partial (map-side) aggregation collapses the
+    // duplicate-heavy candidate stream before it ever shuffles, where a
+    // window would shuffle + sort every candidate row. The duplicate count
+    // rides along in the same aggregate, so the raw candidate stream is
+    // consumed exactly once and never cached. Then the EXACT anti-join vs
+    // the seen set; bloom shards pre-filter so rows the filter proves
+    // unseen skip the anti-join shuffle entirely.
+    val winnowed = maybePersist(candidates
+      .groupBy(col("url"))
+      .agg(min(struct(col("depth"), col("seq"), col("urlHash"), col("host"), col("attempt"))).as("m"),
+        count(lit(1)).as("__dups"))
+      .select(col("url"), col("m.urlHash").as("urlHash"), col("m.host").as("host"),
+        col("m.depth").as("depth"), col("m.seq").as("seq"), col("m.attempt").as("attempt"),
+        col("__dups")))
     val fresh0 = bloomDirPrev match {
       case Some(dir) if cfg.bloomPrefilter =>
-        val w = winnowed.withColumn("__maybe",
+        val w = winnowed.select(fc: _*).withColumn("__maybe",
           BloomShards.mightBeSeen(dir)(BloomShards.shardCol(col("urlHash"), cfg.shards), col("urlHash")))
         val definitelyNew = w.filter(!col("__maybe")).select(fc: _*)
         val needExact = w.filter(col("__maybe")).select(fc: _*)
           .join(seen.select("url"), Seq("url"), "left_anti")
         definitelyNew.unionByName(needExact)
       case _ =>
-        winnowed.join(seen.select("url"), Seq("url"), "left_anti").select(fc: _*)
+        winnowed.select(fc: _*).join(seen.select("url"), Seq("url"), "left_anti")
     }
-    val fresh = fresh0.select(fc: _*).persist(StorageLevel.MEMORY_AND_DISK)
+    val fresh = maybePersist(fresh0.select(fc: _*))
 
     // 7. next frontier
     val nextFrontier = deferred.select(fc: _*)
       .unionByName(retries)
       .unionByName(fresh)
 
-    // per-shard lineage counts, one aggregation job over persisted inputs
+    // per-shard lineage counts, one aggregation job over persisted inputs;
+    // "discovered" (pre-dedup) is reconstructed from the winnow aggregate's
+    // duplicate counts — no extra pass over the raw candidate stream
     def tag(df: DataFrame, stage: String): DataFrame =
       df.select(BloomShards.shardCol(col("urlHash"), cfg.shards).as("shard"),
-        lit(stage).as("stage"))
+        lit(stage).as("stage"), lit(1L).as("w"))
     val stats = tag(f, "frontier")
       .unionByName(tag(robotsDropped, "robots_dropped"))
       .unionByName(tag(deferred, "budget_deferred"))
@@ -180,11 +215,13 @@ object CrawlRound {
       .unionByName(tag(hits, "fetched"))
       .unionByName(tag(retries, "retries"))
       .unionByName(tag(exhausted, "errors"))
-      .unionByName(tag(candidates, "discovered"))
+      .unionByName(winnowed.select(
+        BloomShards.shardCol(col("urlHash"), cfg.shards).as("shard"),
+        lit("discovered").as("stage"), col("__dups").as("w")))
       .unionByName(tag(fresh, "fresh"))
-      .groupBy(col("shard"), col("stage")).count()
+      .groupBy(col("shard"), col("stage")).agg(sum(col("w")).as("count"))
 
     RoundOut(nextFrontier, fresh, order, results, stats,
-      persisted = Seq(f, admitted, hits, candidates, fresh))
+      persisted = Seq(f, admitted, hits, winnowed, fresh, deferred, retries))
   }
 }

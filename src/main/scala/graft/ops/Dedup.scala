@@ -29,42 +29,20 @@ object Dedup {
 
   // ---------- shingles / minhash ----------
 
-  /** distinct word k-shingle hashes of a text column (codegen'd built-ins:
-    * split + sequence/transform/slice + xxhash64)
+  /** distinct word k-shingle hashes of a text column — a custom codegen
+    * Expression (graft.functions.ShingleHashes): the built-in HOF chain
+    * builds every shingle string on the heap and interprets every lambda
     */
-  def wordShingles(text: Column, k: Int = 3): Column = {
-    val words = split(text, "\\s+")
-    array_distinct(
-      when(size(words) < k, array(xxhash64(text)))
-        .otherwise(transform(
-          sequence(lit(0), size(words) - lit(k)),
-          i => xxhash64(concat_ws(" ", slice(words, i + 1, lit(k)))))))
-  }
+  def wordShingles(text: Column, k: Int = 3): Column =
+    graft.functions.MinHash.shingle_hashes(text, word = true, k)
 
-  // 2^31-1: (p-1)^2 < Long.MaxValue, so a*h+b never overflows under ANSI mode
-  private val MersennePrime = (1L << 31) - 1
 
-  /** deterministic per-permutation coefficients (splitmix64, seed-fixed) */
-  private def coeff(seed: Long, j: Int, which: Int): Long = {
-    var z = seed + j.toLong * 0x9E3779B97F4A7C15L + which * 0xBF58476D1CE4E5B9L
-    z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
-    z ^= z >>> 27; z *= 0x94D049BB133111EBL
-    z ^= z >>> 31
-    (z & Long.MaxValue) % MersennePrime
-  }
-
-  /** MinHash signature: array of numHashes minima of (a_j*h + b_j) mod p.
-    * Pure Column expression — whole-stage codegen, no UDF.
+  /** MinHash signature: array of numHashes minima of (a_j*h + b_j) mod p —
+    * compiled loop (graft.functions.MinHashSig), not N interpreted
+    * array_min(transform(...)) passes
     */
-  def minhashSignature(shingles: Column, numHashes: Int = 128, seed: Long = 42L): Column = {
-    val perHash = (0 until numHashes).map { j =>
-      val a = coeff(seed, j, 1) | 1L
-      val b = coeff(seed, j, 2)
-      array_min(transform(shingles, h =>
-        pmod(pmod(h, lit(MersennePrime)) * lit(a) + lit(b), lit(MersennePrime))))
-    }
-    array(perHash: _*)
-  }
+  def minhashSignature(shingles: Column, numHashes: Int = 128, seed: Long = 42L): Column =
+    graft.functions.MinHash.minhash_sig(shingles, numHashes, seed)
 
   /** LSH banding: explode the signature into (band, bandHash) bucket keys. */
   def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
@@ -151,13 +129,9 @@ object Dedup {
 
   // ---------- n-gram jaccard ----------
 
-  /** distinct character n-gram hashes (Column-only) */
+  /** distinct character n-gram hashes (codegen Expression, byte n-grams) */
   def charNgrams(text: Column, n: Int = 3): Column =
-    array_distinct(
-      when(length(text) < n, array(xxhash64(text)))
-        .otherwise(transform(
-          sequence(lit(1), length(text) - lit(n - 1)),
-          i => xxhash64(substring(text, i, lit(n))))))
+    graft.functions.MinHash.shingle_hashes(text, word = false, n)
 
   /** exact Jaccard similarity of two pre-computed ngram/shingle arrays */
   def jaccard(a: Column, b: Column): Column =

@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * bucketing, which turns the n² cross join into an equi-join on bucket
   * signatures — the only shape that survives 10^8+ rows.
   *
-  * All math is pure Column expressions (zip_with/aggregate in double
-  * precision) inside whole-stage codegen; no UDF.
+  * All math runs inside whole-stage codegen: a custom Catalyst DotProduct
+  * expression (graft.functions) + native casts; no UDF, no interpreted HOF.
   */
 object Similarity {
 

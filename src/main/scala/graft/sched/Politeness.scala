@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * (BASELINE.json:6,14; SURVEY.md §2 #10/#15). Priority is the structural
   * BFS key (depth, seq) — secondary sort within host partitions.
   *
-  * Skew (the Zipf mega-host): a plain `Window.partitionBy(host)` puts an
-  * entire host into one task. For budgets that a single task can't comfortably
-  * rank, a salted two-phase top-B runs first: phase 1 ranks within
-  * (host, salt) and keeps `budget` rows per salt (a superset of the true
-  * top-B, ≤ saltFactor·budget rows/host); phase 2 ranks that bounded
-  * remainder exactly. Semantics identical to the unsalted window — the
-  * reference-parity tests cover both paths.
+  * Scale shape: ranking is only paid where it can matter. A first
+  * aggregation finds hosts whose frontier rows exceed the budget; all other
+  * hosts' rows are admitted by a broadcast anti-join (no window, no
+  * serialized mega-host task — the common case when budgets are generous).
+  * Overflowing hosts run a salted two-phase top-B: phase 1 ranks within
+  * (host, salt) and keeps `budget` rows per salt — a superset of the true
+  * top-B bounded to saltFactor·budget rows/host — so phase 2's exact
+  * per-host ranking never sorts an entire Zipf mega-host in one task.
+  * Semantics identical to a single global window; parity tests cover both
+  * paths.
   */
 object Politeness {
 
@@ -24,24 +27,32 @@ object Politeness {
     val budget = cfg.hostBudget
     if (budget == Int.MaxValue) return (frontier, frontier.limit(0))
     val keep = frontier.columns.map(col)
-    val byHost = Window.partitionBy(col("host")).orderBy(col("depth"), col("seq"))
 
+    // hosts that could overflow the budget (usually a small set)
+    val overflowHosts = frontier.groupBy(col("host"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > budget)
+      .select("host")
+
+    val under = frontier.join(broadcast(overflowHosts), Seq("host"), "left_anti")
+    val over = frontier.join(broadcast(overflowHosts), Seq("host"), "left_semi")
+
+    val byHost = Window.partitionBy(col("host")).orderBy(col("depth"), col("seq"))
     val preFiltered =
       if (cfg.saltFactor > 1) {
-        // phase 1: salted over-selection, bounds any single task's sort input
         val bySalt = Window
           .partitionBy(col("host"), pmod(col("urlHash"), lit(cfg.saltFactor.toLong)))
           .orderBy(col("depth"), col("seq"))
-        frontier
+        over
           .withColumn("__srn", row_number().over(bySalt))
           .filter(col("__srn") <= budget)
           .drop("__srn")
-      } else frontier
+      } else over
 
-    val ranked = preFiltered.withColumn("__rn", row_number().over(byHost))
-    val admitted = ranked.filter(col("__rn") <= budget).select(keep: _*)
-    // deferred = everything not admitted (includes phase-1 salted-out rows)
-    val deferred = frontier.join(admitted.select("url"), Seq("url"), "left_anti")
-    (admitted, deferred)
+    val rankedOver = preFiltered.withColumn("__rn", row_number().over(byHost))
+    val admittedOver = rankedOver.filter(col("__rn") <= budget).select(keep: _*)
+    // deferred = overflow-host rows not admitted (includes salted-out rows)
+    val deferred = over.join(admittedOver.select("url"), Seq("url"), "left_anti")
+    (under.select(keep: _*).unionByName(admittedOver), deferred.select(keep: _*))
   }
 }

@@ -65,6 +65,16 @@ object UrlFunctions extends Serializable {
 
   val canonicalizeUdf2 = udf((base: String, href: String) =>
     if (base == null || href == null) None else Urls.canonicalize(base, href))
+
+  /** canonicalize + host in ONE UDF pass — the discovery hot path runs over
+    * every extracted link, so one UTF8String<->String round-trip, not two
+    */
+  val canonicalizeWithHostUdf = udf((base: String, href: String) =>
+    if (base == null || href == null) None
+    else Urls.canonicalize(base, href).map(u => (u, Urls.hostOf(u))))
+
+  def canonicalizeWithHost(base: Column, href: Column): Column =
+    canonicalizeWithHostUdf(base, href)
   val canonicalizeAbsUdf = udf((u: String) =>
     if (u == null) None else Urls.canonicalizeAbsolute(u))
   val hostOfUdfF = udf((u: String) => if (u == null) "" else Urls.hostOf(u))

@@ -16,7 +16,24 @@ package graft.url
   */
 object Urls extends Serializable {
 
-  private val SchemePattern = "^[A-Za-z][A-Za-z0-9+.-]*:".r
+  /** length of a leading RFC-3986 scheme incl ':' or -1 — manual scan, the
+    * regex equivalent allocates a Matcher per href on the 10^x-links hot path
+    */
+  private def schemeLen(s: String): Int = {
+    if (s.isEmpty) return -1
+    val c0 = s.charAt(0)
+    if (!((c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z'))) return -1
+    var i = 1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ':') return i + 1
+      val ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'
+      if (!ok) return -1
+      i += 1
+    }
+    -1
+  }
 
   /** scheme of a canonical absolute url, lowercase, or "" */
   def schemeOf(url: String): String = {
@@ -151,14 +168,14 @@ object Urls extends Serializable {
       else if (noFrag.startsWith("//")) {
         val s = schemeOf(base)
         if (s.isEmpty) None else Some(s + ":" + noFrag)
-      } else SchemePattern.findFirstIn(noFrag) match {
-        case Some(s) =>
-          val sch = s.dropRight(1).toLowerCase
+      } else {
+        val sl = schemeLen(noFrag)
+        if (sl > 0) {
+          val sch = noFrag.substring(0, sl - 1).toLowerCase
           if (sch == "http" || sch == "https") Some(noFrag) else None
-        case None =>
-          if (base.indexOf("://") < 0) None
-          else if (noFrag.startsWith("/")) Some(origin(base) + noFrag)
-          else Some(origin(base) + baseDir(base) + noFrag)
+        } else if (base.indexOf("://") < 0) None
+        else if (noFrag.startsWith("/")) Some(origin(base) + noFrag)
+        else Some(origin(base) + baseDir(base) + noFrag)
       }
     abs.flatMap(normalize).filter(u => hostOf(u).nonEmpty)
   }

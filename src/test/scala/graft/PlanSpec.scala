@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the properties that make the engine
+  * scale must be visible in `explain`, not just hoped for — filter/column
+  * pushdown into the parquet scan, broadcast for the robots-shaped join,
+  * whole-stage codegen around the custom expressions, partial aggregation
+  * for the winnow dedup.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestBase.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter and projection push down into the parquet scan") {
+    val df = SparkEntry.queries("q07_filter_pushdown")(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters in:\n$plan")
+    assert(plan.contains("EqualTo(o_orderstatus,O)"), "status filter should be pushed")
+    assert(plan.contains("GreaterThan(o_total"), "price filter should be pushed")
+    // column pruning: the scan must not read o_orderdate/o_orderpriority
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_orderdate"), s"scan reads pruned column: $readSchema")
+  }
+
+  test("robots-shaped dimension join is broadcast, not shuffled") {
+    val df = SparkEntry.queries("q16_robots_broadcast")(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("dedup anti-join plans as a join, never a cartesian") {
+    val df = SparkEntry.queries("q09_dedup_anti")(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("LeftAnti"), s"expected left-anti join:\n$plan")
+    assert(!plan.contains("Cartesian"), "anti join must not degrade to cartesian")
+  }
+
+  test("custom DotProduct stays inside whole-stage codegen") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = e.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+    df.collect()
+    // the *(N) prefix marks operators fused into a WholeStageCodegen stage
+    val exec = df.queryExecution.executedPlan
+    val inCodegen = exec.exists(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(inCodegen, s"expected codegen:\n$exec")
+  }
+
+  test("winnow dedup aggregates partially before the shuffle (map-side combine)") {
+    import spark.implicits._
+    val cand = Seq((1L, "u1", 0), (2L, "u1", 1), (3L, "u2", 0)).toDF("urlHash", "url", "depth")
+    val agg = cand.groupBy($"url").agg(min(struct($"depth", $"urlHash")).as("m"))
+    agg.collect()
+    val plan = planOf(agg)
+    // struct-with-array min buffers are not fixed-width, so Spark plans a
+    // SortAggregate — what matters for scale is the PARTIAL (map-side)
+    // aggregate running before the exchange, collapsing duplicates pre-shuffle
+    assert(plan.contains("partial_min"), s"expected map-side partial aggregate:\n$plan")
+    val exchangeIdx = plan.indexOf("Exchange")
+    val partialIdx = plan.indexOf("partial_min")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      "partial aggregate must sit below the exchange (map side)")
+  }
+
+  test("minhash LSH near-dups plan as bucket equi-joins, not cross joins") {
+    val df = SparkEntry.queries("qd_dedup_minhash")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      s"LSH candidate generation must be an equi-join:\n$plan")
+  }
+}
