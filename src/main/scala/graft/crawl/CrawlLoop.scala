@@ -87,6 +87,19 @@ class CrawlLoop(
     }
   }
 
+  /** seen set as of round k: latest compacted snapshot + deltas since */
+  private def readSeen(k: Int): DataFrame =
+    store.latestExisting("seen_all", k) match {
+      case Some(c) =>
+        val deltas = (c + 1) to k
+        val base = store.read("seen_all", c).select("url", "urlHash")
+        if (deltas.isEmpty) base
+        else base.unionByName(
+          spark.read.parquet(deltas.map(store.tablePath("seen_add", _)): _*)
+            .select("url", "urlHash"))
+      case None => store.readUpTo("seen_add", k).select("url", "urlHash")
+    }
+
   /** Run (or resume) the crawl to completion. */
   def run(seeds: Seq[String]): CrawlOutcome = {
     val (_, seedHosts) = seedFrontier(seeds)
@@ -101,7 +114,7 @@ class CrawlLoop(
     while (frontierCount > 0 && k < cfg.maxRounds) {
       val t0 = System.nanoTime()
       val frontier = store.read("frontier", k)
-      val seen = store.readUpTo("seen_add", k).select("url", "urlHash")
+      val seen = readSeen(k)
       val out = CrawlRound.execute(spark, cfg, k, frontier, frontierCount, pages,
         robots, robotsEmpty, seen, Some(store.bloomDir(k)), seedHosts, runners)
 
@@ -134,6 +147,9 @@ class CrawlLoop(
           m("errors"), m("retries"), wallMs)
       }.toSeq
       store.write("lineage", k, spark.createDataset(lineage).toDF())
+      if (cfg.compactSeenEvery > 0 && (k + 1) % cfg.compactSeenEvery == 0)
+        store.write("seen_all", k + 1, readSeen(k).unionByName(
+          store.read("seen_add", k + 1).select("url", "urlHash")))
 
       frontierCount = byStage("budget_deferred") + byStage("retries") + byStage("fresh")
       store.commit(k + 1, Map(

@@ -82,6 +82,12 @@ class SnapshotStore(val root: String, spark: SparkSession) {
     spark.read.parquet(paths: _*)
   }
 
+  /** largest round <= upTo for which `table` has a data dir */
+  def latestExisting(table: String, upTo: Int): Option[Int] =
+    (upTo to 0 by -1).find { r =>
+      val p = new Path(tablePath(table, r)); fs(p).exists(p)
+    }
+
   def bloomDir(round: Int): String = s"$root/bloom/round=$round"
 
   def clear(): Unit = {

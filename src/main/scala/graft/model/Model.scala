@@ -117,7 +117,12 @@ final case class CrawlConfig(
     /** broadcast the frontier side of the fetch join when smaller than this */
     broadcastFrontierMaxRows: Long = 2_000_000L,
     /** salt factor for hosts whose admitted rows exceed one task's comfort */
-    saltFactor: Int = 8)
+    saltFactor: Int = 8,
+    /** rewrite the seen set as one compacted snapshot every K rounds, so the
+      * per-round read unions O(K) delta dirs instead of O(rounds) (Iceberg
+      * analog: snapshot compaction)
+      */
+    compactSeenEvery: Int = 16)
 
 /** A runner — the engine's typed-UDF surface (SURVEY.md §2 #12). Must be a
   * deterministic pure function for crawl parity; Left = error recorded under

@@ -130,4 +130,9 @@ class CrawlParitySpec extends AnyFunSuite {
   test("maxDepth caps discovery") {
     runBoth("maxdepth", fix, CrawlConfig(maxDepth = 2), Seq(Fixtures.urlOf(0, 0)))
   }
+
+  test("seen-set compaction every round preserves exactness") {
+    runBoth("compaction", fix, CrawlConfig(compactSeenEvery = 1, hostBudget = 4),
+      Seq(Fixtures.urlOf(0, 0)))
+  }
 }

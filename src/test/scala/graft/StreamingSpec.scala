@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.UrlEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int = 0) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("watermarked tumbling-window counts finalize and drop late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = Streaming
+      .windowedEventCounts(in.toDF.toDF("ts", "event_type", "value"),
+        windowDur = "1 hour", watermark = "1 hour")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(1, 10), "click", 1.0), (ts(1, 20), "click", 2.0), (ts(1, 30), "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far past hour 1 -> hour-1 windows finalize
+      in.addData((ts(5), "click", 1.0))
+      q.processAllAvailable()
+      // this row is hours late -> dropped by the watermark
+      in.addData((ts(1, 40), "click", 99.0))
+      q.processAllAvailable()
+      in.addData((ts(8), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select("w_start", "event_type", "n", "sv")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows.contains((ts(1), "click", 2L, 3.0)), s"got $rows")
+      assert(rows.contains((ts(1), "view", 1L, 3.0)))
+      assert(!rows.exists { case (w, t, n, sv) => w == ts(1) && t == "click" && sv == 102.0 },
+        "late row must have been dropped")
+    } finally q.stop()
+  }
+
+  test("streaming URL-seen filter emits first occurrences only, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[UrlEvent]
+    val q = Streaming.streamingSeenFilter(spark, in.toDS())
+      .writeStream.format("memory").queryName("seen_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(UrlEvent("h0", "http://h0.test/a"), UrlEvent("h0", "http://h0.test/b"),
+        UrlEvent("h0", "http://h0.test/a"), UrlEvent("h1", "http://h1.test/x"))
+      q.processAllAvailable()
+      // second batch: dups across batches must be suppressed by state
+      in.addData(UrlEvent("h0", "http://h0.test/a"), UrlEvent("h0", "http://h0.test/c"),
+        UrlEvent("h1", "http://h1.test/x"))
+      q.processAllAvailable()
+      val out = spark.table("seen_stream").as[String].collect().toList
+      assert(out.sorted === List("http://h0.test/a", "http://h0.test/b",
+        "http://h0.test/c", "http://h1.test/x"))
+    } finally q.stop()
+  }
+
+  test("SQL-registered custom functions work from spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    val dot = spark.sql("SELECT graft_dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[Double].head()
+    assert(dot === 11.0)
+    val sig = spark.sql(
+      "SELECT size(graft_minhash_sig(graft_shingle_hashes('a b c d e', true, 3), 16, 42L)) AS n")
+      .as[Int].head()
+    assert(sig === 16)
+  }
+}
