@@ -2,6 +2,7 @@ package graft.crawl
 
 import graft.filterset.BloomShards
 import graft.model._
+import graft.robots.Robots
 import graft.url.Urls
 import scala.concurrent.{Await, Future}
 import scala.concurrent.duration.Duration
@@ -17,11 +18,22 @@ import org.apache.spark.sql.functions._
   * latest committed round without re-fetching (BASELINE.json:6).
   */
 final case class CrawlOutcome(store: SnapshotStore, roundsRun: Int, lastRound: Int) {
+  /** lastRound < 0 (a crawl that never ran a round) yields EMPTY frames with
+    * the right schema instead of readUpTo's "no committed data" error.
+    */
+  private def emptyOr[T <: Product: scala.reflect.runtime.universe.TypeTag](
+      spark: SparkSession)(read: => DataFrame): DataFrame =
+    if (lastRound < 0)
+      spark.createDataset(Seq.empty[T])(org.apache.spark.sql.Encoders.product[T]).toDF()
+    else read
   def order(spark: SparkSession): DataFrame =
-    store.readUpTo("order", lastRound).orderBy(col("round"), col("depth"), col("seq"))
+    emptyOr[graft.model.CrawlOrderRow](spark)(
+      store.readUpTo("order", lastRound).orderBy(col("round"), col("depth"), col("seq")))
   def seen(spark: SparkSession): DataFrame = store.readUpTo("seen_add", lastRound + 1)
-  def results(spark: SparkSession): DataFrame = store.readUpTo("results", lastRound)
-  def lineage(spark: SparkSession): DataFrame = store.readUpTo("lineage", lastRound)
+  def results(spark: SparkSession): DataFrame =
+    emptyOr[graft.model.RunnerResult](spark)(store.readUpTo("results", lastRound))
+  def lineage(spark: SparkSession): DataFrame =
+    emptyOr[graft.model.Lineage](spark)(store.readUpTo("lineage", lastRound))
 
   /** crawlkit-shaped nested results export: one JSON object per URL
     * (SURVEY.md §2 #13/#14): {"url":..., "runners": {key: {result|error}}}
@@ -103,6 +115,9 @@ class CrawlLoop(
   /** Run (or resume) the crawl to completion. */
   def run(seeds: Seq[String]): CrawlOutcome = {
     val (_, seedHosts) = seedFrontier(seeds)
+    require(seedHosts.nonEmpty,
+      s"no seed URL canonicalized to a fetchable absolute URL (seeds: ${seeds.take(5).mkString(", ")}…)")
+    if (!robotsEmpty) Robots.requireUniqueHosts(robots)
     val startRound = store.latestCommitted match {
       case Some(k) => k
       case None => initRound0(seeds); 0

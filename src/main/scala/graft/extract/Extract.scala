@@ -64,9 +64,16 @@ object Extract extends Serializable {
 
   def isRedirectCol(htmlStr: Column): Column = htmlStr.startsWith(RedirectPrefix)
 
+  /** Column mirror of java.lang.String.trim — strips ALL chars <= U+0020 at
+    * both ends, where Spark's trim() strips only ' '. The pure spec side uses
+    * String.trim, so the Column side must match on e.g. "Location: x\n".
+    */
+  private def javaTrim(c: Column): Column =
+    regexp_replace(c, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
+
   def redirectTargetCol(htmlStr: Column): Column =
     when(isRedirectCol(htmlStr),
-      trim(substring(htmlStr, RedirectPrefix.length + 1, Int.MaxValue)))
+      javaTrim(substring(htmlStr, RedirectPrefix.length + 1, Int.MaxValue)))
       .otherwise(lit(null).cast("string"))
 
   /** array<string> of hrefs in document order (empty for redirects) */
@@ -74,8 +81,8 @@ object Extract extends Serializable {
     when(isRedirectCol(htmlStr), array().cast("array<string>"))
       .otherwise(regexp_extract_all(htmlStr, lit(AnchorPattern), lit(1)))
 
-  /** Column mirror of [[extractText]] */
+  /** Column mirror of [[extractText]] (javaTrim: see redirectTargetCol) */
   def textCol(htmlStr: Column): Column =
     when(isRedirectCol(htmlStr), lit(""))
-      .otherwise(trim(regexp_replace(regexp_replace(htmlStr, TagPattern, " "), WsPattern, " ")))
+      .otherwise(javaTrim(regexp_replace(regexp_replace(htmlStr, TagPattern, " "), WsPattern, " ")))
 }

@@ -1,7 +1,5 @@
 package graft.filterset
 
-import java.util.concurrent.ConcurrentHashMap
-
 import graft.model.CrawlConfig
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
@@ -87,9 +85,15 @@ object BloomShards extends Serializable {
   }
 
   // JVM-wide probe-side cache: (dir, shard) -> filter. Round dirs are unique
-  // paths, so stale entries never alias; cap the cache to bound memory.
-  private val cache = new ConcurrentHashMap[(String, Int), BloomFilter]()
+  // paths, so stale entries never alias. LRU-capped: one overflow evicts only
+  // the least-recently-used entry, never the whole cache (a clear() would
+  // make every in-flight task re-read its shard file).
   private val MaxCached = 256
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Int), BloomFilter](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[(String, Int), BloomFilter]): Boolean =
+        size() > MaxCached
+    })
 
   private def load(dir: String, shard: Int): Option[BloomFilter] = {
     val p = shardFile(dir, shard)
@@ -105,10 +109,7 @@ object BloomShards extends Serializable {
     val k = (dir, shard)
     Option(cache.get(k)).orElse {
       val bf = load(dir, shard)
-      bf.foreach { b =>
-        if (cache.size() > MaxCached) cache.clear()
-        cache.putIfAbsent(k, b)
-      }
+      bf.foreach(b => cache.put(k, b))
       bf
     }
   }

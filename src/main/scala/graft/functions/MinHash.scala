@@ -3,10 +3,11 @@ package graft.functions
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass, allocation-light shingling + MinHash.
@@ -117,6 +118,24 @@ object MinHashFns {
     dedupSorted(out, out.length)
   }
 
+  /** LSH band hashes over a minhash signature: band b = mix chain over
+    * sig[b*rowsPerBand .. +rowsPerBand-1]. One compiled pass; the Column
+    * formulation (transform + slice + concat_ws + xxhash64) interprets every
+    * lambda and builds per-band strings — measured ~20x slower per row.
+    */
+  def bandHashes(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < rowsPerBand) { h = mix2(h, sig.getLong(b * rowsPerBand + i)); i += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature over precomputed shingle hashes (same (a*h+b) mod
     * 2^31-1 scheme as the Column formulation, compiled)
     */
@@ -147,6 +166,10 @@ object MinHashFns {
   */
 case class ShingleHashes(child: Expression, word: Boolean, k: Int)
     extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes requires a string argument, got ${child.dataType.simpleString}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     if (word) MinHashFns.wordShingleHashes(v.asInstanceOf[UTF8String], k)
@@ -162,6 +185,11 @@ case class ShingleHashes(child: Expression, word: Boolean, k: Int)
 /** MinHash signature of an array<long> shingle-hash column */
 case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
     extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_sig requires an array<long> argument, got ${dt.simpleString}")
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     MinHashFns.minhashSig(v.asInstanceOf[ArrayData], numHashes, seed)
@@ -172,9 +200,29 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** per-band LSH bucket hashes of an array<long> minhash signature */
+case class BandHashes(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_band_hashes requires an array<long> argument, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    MinHashFns.bandHashes(v.asInstanceOf[ArrayData], bands, rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashFns.bandHashes($c, $bands, $rowsPerBand);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object MinHash {
   def shingle_hashes(text: Column, word: Boolean, k: Int): Column =
     GraftShims.column(ShingleHashes(GraftShims.expression(text), word, k))
   def minhash_sig(hashes: Column, numHashes: Int, seed: Long): Column =
     GraftShims.column(MinHashSig(GraftShims.expression(hashes), numHashes, seed))
+  def band_hashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    GraftShims.column(BandHashes(GraftShims.expression(sig), bands, rowsPerBand))
 }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for large-scale training-data pipelines: exact,
   * MinHash+LSH, SimHash, and n-gram Jaccard. All are shuffle-shaped as
@@ -44,14 +45,44 @@ object Dedup {
   def minhashSignature(shingles: Column, numHashes: Int = 128, seed: Long = 42L): Column =
     graft.functions.MinHash.minhash_sig(shingles, numHashes, seed)
 
-  /** LSH banding: explode the signature into (band, bandHash) bucket keys. */
-  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      struct(b.as("band"), xxhash64(concat_ws(",",
-        transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), x => x.cast("string")))).as("bandHash")))
+  /** LSH banding: per-band bucket hashes of the signature, as one codegen'd
+    * pass (graft.functions.BandHashes) — the HOF formulation (transform +
+    * slice + concat_ws + xxhash64) interprets every lambda and re-evaluates
+    * its input per band. posexplode supplies the band index.
+    */
+  def lshBandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    graft.functions.MinHash.band_hashes(sig, bands, rowsPerBand)
+
+  /** Band count tuned to the verification threshold via the LSH S-curve
+    * ((1/b)^(b/numHashes) ≈ collision threshold): the FEWEST bands whose
+    * curve sits at or below `threshold`. Mis-tuned banding is a scale
+    * killer — e.g. 16×4 banding at threshold 0.95 over small-alphabet char
+    * n-grams buckets nearly every random pair, exploding the candidate join
+    * quadratically; 4×16 banding prunes them while keeping >=threshold
+    * recall high (verification is exact, so precision is unaffected).
+    */
+  def chooseBands(numHashes: Int, threshold: Double): Int = {
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    divisors.find { b =>
+      math.pow(1.0 / b, b.toDouble / numHashes) <= threshold
+    }.getOrElse(numHashes)
+  }
+
+  /** Join candidate id-pairs back to a per-id payload table ONCE per side —
+    * the de-amplified LSH verification shape: the heavy payload (shingle set
+    * / vector) crosses the wire exactly twice in total, not once per band ×
+    * side. `pairs` needs columns (a, b); `payload` needs (id, <payloadCol>).
+    */
+  private[graft] def attachPayloads(pairs: DataFrame, payload: DataFrame, payloadCol: String): DataFrame =
+    pairs
+      .join(payload.select(col("id").as("a"), col(payloadCol).as(s"${payloadCol}a")), Seq("a"))
+      .join(payload.select(col("id").as("b"), col(payloadCol).as(s"${payloadCol}b")), Seq("b"))
 
   /** End-to-end MinHash-LSH near-duplicate pairs: shingle → signature →
-    * band-bucket equi-join → exact Jaccard verification on candidates only.
+    * band-bucket equi-join on (band, bandHash) carrying ids ONLY → exact
+    * Jaccard verification via one payload re-join per side. The shingle
+    * arrays never ride the band join (which would amplify shuffle volume by
+    * 2 × bands); only 16-byte id rows do.
     * Returns (a, b, jaccard) with a < b and jaccard >= threshold.
     */
   def minhashNearDups(
@@ -60,25 +91,29 @@ object Dedup {
       idCol: String = "doc_id",
       k: Int = 3,
       numHashes: Int = 128,
-      bands: Int = 32,
       threshold: Double = 0.7,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      /** 0 = derive from threshold via [[chooseBands]] */
+      bandsOverride: Int = 0): DataFrame = {
+    val bands = if (bandsOverride > 0) bandsOverride else chooseBands(numHashes, threshold)
     val rowsPerBand = numHashes / bands
-    val withSig = docs
-      .select(col(idCol).as("id"), wordShingles(col(textCol), k).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
-    val buckets = withSig
-      .select(col("id"), col("sh"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.bandHash").as("bandHash"))
-    val l = buckets.select(col("band"), col("bandHash"), col("id").as("a"), col("sh").as("sha"))
-    val r = buckets.select(col("band"), col("bandHash"), col("id").as("b"), col("sh").as("shb"))
-    l.join(r, Seq("band", "bandHash"))
+    // the shingle table feeds candidate generation AND both verification
+    // joins — persist so the (expensive) shingling pass runs once, not 3x;
+    // ~8-16 bytes/shingle columnar, spills to disk if it outgrows memory
+    val shingled = docs.select(col(idCol).as("id"), wordShingles(col(textCol), k).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val buckets = shingled
+      .select(col("id"),
+        posexplode(lshBandHashes(minhashSignature(col("sh"), numHashes, seed), bands, rowsPerBand))
+          .as(Seq("band", "bandHash")))
+    val l = buckets.select(col("band"), col("bandHash"), col("id").as("a"))
+    val r = buckets.select(col("band"), col("bandHash"), col("id").as("b"))
+    val pairs = l.join(r, Seq("band", "bandHash"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sha"), col("shb"))
+      .select(col("a"), col("b"))
       .dropDuplicates("a", "b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))).cast("double"))
+    attachPayloads(pairs, shingled, "sh")
+      .withColumn("jaccard", jaccard(col("sha"), col("shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -138,20 +173,27 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
   /** Character-n-gram Jaccard near-dups, LSH-accelerated: reuses the minhash
-    * banding over char n-grams instead of word shingles.
+    * banding over char n-grams instead of word shingles. Same de-amplified
+    * shape as [[minhashNearDups]]: ids through the band join, n-gram arrays
+    * only through the two verification joins.
     */
   def ngramJaccardNearDups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                           n: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val withNg = docs.select(col(idCol).as("id"), charNgrams(col(textCol), n).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), 64, seed = 7L))
-    val buckets = withNg
-      .select(col("id"), col("sh"), explode(lshBands(col("sig"), 16, 4)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.bandHash").as("bandHash"))
-    val l = buckets.select(col("band"), col("bandHash"), col("id").as("a"), col("sh").as("sha"))
-    val r = buckets.select(col("band"), col("bandHash"), col("id").as("b"), col("sh").as("shb"))
-    l.join(r, Seq("band", "bandHash"))
+                           n: Int = 3, threshold: Double = 0.6,
+                           numHashes: Int = 64, bandsOverride: Int = 0): DataFrame = {
+    val bands = if (bandsOverride > 0) bandsOverride else chooseBands(numHashes, threshold)
+    val grams = docs.select(col(idCol).as("id"), charNgrams(col(textCol), n).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // one shingling pass (see minhashNearDups)
+    val buckets = grams
+      .select(col("id"),
+        posexplode(lshBandHashes(minhashSignature(col("sh"), numHashes, seed = 7L), bands, numHashes / bands))
+          .as(Seq("band", "bandHash")))
+    val l = buckets.select(col("band"), col("bandHash"), col("id").as("a"))
+    val r = buckets.select(col("band"), col("bandHash"), col("id").as("b"))
+    val pairs = l.join(r, Seq("band", "bandHash"))
       .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
       .dropDuplicates("a", "b")
+    attachPayloads(pairs, grams, "sh")
       .withColumn("jaccard", jaccard(col("sha"), col("shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over an embedding column (array<float>).
   *
@@ -64,6 +65,30 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** (id, t, bkt) bucket keys under `tables` independent sign families —
+    * 24-byte rows; the vectors themselves stay OUT of the bucket join
+    */
+  private def bucketKeys(emb: DataFrame, dims: Int, nPlanes: Int, tables: Int,
+                         idCol: String, vecCol: String): DataFrame =
+    emb.select(
+      col(idCol).as("id"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), lshBucket(col(vecCol), dims, nPlanes, seed = 42L + t).as("bkt"))): _*)).as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+      // the signature pass costs tables x nPlanes x dims multiply-adds per
+      // row and feeds BOTH sides of the self-join — run it once
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** join candidate id-pairs back to the vector table once per side (the
+    * de-amplified verification shape — vectors cross the wire twice total,
+    * not once per table × side)
+    */
+  private def attachVectors(pairs: DataFrame, vecs: DataFrame,
+                            aCol: String, bCol: String): DataFrame =
+    pairs
+      .join(vecs.select(col("id").as(aCol), col("v").as("va")), Seq(aCol))
+      .join(vecs.select(col("id").as(bCol), col("v").as("vb")), Seq(bCol))
+
   /** Embedding near-duplicate pairs above a cosine threshold, LSH-bucketed:
     * candidates come from an equi-join on hyperplane-signature buckets
     * (multi-table for recall — identical vectors always co-bucket, so
@@ -72,16 +97,14 @@ object Similarity {
     */
   def nearDupPairs(emb: DataFrame, dims: Int, threshold: Double, tables: Int = 2,
                    nPlanes: Int = 12, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val withBuckets = emb.select(
-      col(idCol).as("id"), col(vecCol).as("v"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), lshBucket(col(vecCol), dims, nPlanes, seed = 42L + t).as("bkt"))): _*)).as("tb"))
-      .select(col("id"), col("v"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
-    val l = withBuckets.select(col("t"), col("bkt"), col("id").as("a"), col("v").as("va"))
-    val r = withBuckets.select(col("t"), col("bkt"), col("id").as("b"), col("v").as("vb"))
-    l.join(r, Seq("t", "bkt"))
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val buckets = bucketKeys(emb, dims, nPlanes, tables, idCol, vecCol)
+    val pairs = buckets.select(col("t"), col("bkt"), col("id").as("a"))
+      .join(buckets.select(col("t"), col("bkt"), col("id").as("b")), Seq("t", "bkt"))
       .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
       .dropDuplicates("a", "b")
+    attachVectors(pairs, vecs, "a", "b")
       .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
       .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
@@ -93,17 +116,15 @@ object Similarity {
     */
   def annTopK(emb: DataFrame, dims: Int, k: Int = 10, nPlanes: Int = 12, tables: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val withBuckets = emb.select(
-      col(idCol).as("id"), col(vecCol).as("v"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), lshBucket(col(vecCol), dims, nPlanes, seed = 42L + t).as("bkt"))): _*)).as("tb"))
-      .select(col("id"), col("v"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
-    val l = withBuckets.select(col("t"), col("bkt"), col("id"), col("v").as("va"))
-    val r = withBuckets.select(col("t"), col("bkt"), col("id").as("nb"), col("v").as("vb"))
-    val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("nb"))
-    l.join(r, Seq("t", "bkt"))
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val buckets = bucketKeys(emb, dims, nPlanes, tables, idCol, vecCol)
+    val cands = buckets
+      .join(buckets.select(col("t"), col("bkt"), col("id").as("nb")), Seq("t", "bkt"))
       .filter(col("id") =!= col("nb"))
+      .select(col("id"), col("nb"))
       .dropDuplicates("id", "nb")
+    val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("nb"))
+    attachVectors(cands, vecs, "id", "nb")
       .withColumn("sim", cosine(col("va"), col("vb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

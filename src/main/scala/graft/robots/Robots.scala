@@ -27,6 +27,19 @@ object Robots {
     disallow.isNull || dis === -1 || alw >= dis
   }
 
+  /** PRECONDITION: one rule row per host. The reference model collapses
+    * duplicates via Map (last wins); a broadcast join would instead multiply
+    * frontier rows, silently corrupting crawl order. [[requireUniqueHosts]]
+    * enforces this at loop construction.
+    */
+  def requireUniqueHosts(robots: Dataset[RobotsRule]): Unit = {
+    val dups = robots.groupBy(col("host")).count().filter(col("count") > 1)
+      .select("host").collect().map(_.getString(0))
+    require(dups.isEmpty,
+      s"robots table has duplicate rules for host(s): ${dups.mkString(", ")} — " +
+        "collapse to one rule per host (reference semantics: last rule wins)")
+  }
+
   /** Split `frontier` (needs url + host columns) into (allowed, dropped). */
   def partition(frontier: DataFrame, robots: Dataset[RobotsRule]): (DataFrame, DataFrame) = {
     val joined = frontier

@@ -52,6 +52,23 @@ class ExtractSpec extends AnyFunSuite {
     }
   }
 
+  test("redirect target trim: Column ≡ pure on whitespace-tailed targets (Java trim semantics)") {
+    // Java String.trim strips all chars <= U+0020; Spark's trim() strips
+    // only ' ' — the Column mirror must match the pure spec on \n \t \r
+    val bodies = Seq(
+      "Location: http://x.test/a\n",
+      "Location: http://x.test/a\t\r\n",
+      "Location:  http://x.test/a ",
+      "Location: \t http://x.test/a")
+    val rows = bodies.toDF("htmlStr")
+      .select(col("htmlStr"), Extract.redirectTargetCol(col("htmlStr")).as("colRedir"))
+      .collect()
+    rows.foreach { r =>
+      assert(Option(r.getString(1)) === Extract.redirectTarget(r.getString(0)),
+        s"trim drift on ${r.getString(0).replace("\n", "\\n")}")
+    }
+  }
+
   test("fixture determinism: same config generates identical pages") {
     val cfg = FixtureConfig(nHosts = 3, maxPagesPerHost = 10)
     val a = Fixtures.generate(cfg)

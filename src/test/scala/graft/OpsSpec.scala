@@ -46,7 +46,10 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("ngram jaccard near-dups") {
-    val pairs = Dedup.ngramJaccardNearDups(docs, threshold = 0.8)
+    // bandsOverride=16 pins the recall-heavy 16x4 banding: with
+    // threshold-derived 8x8 banding a j~0.9 pair may legitimately miss every
+    // band (LSH recall < 1 between the threshold and the S-curve midpoint)
+    val pairs = Dedup.ngramJaccardNearDups(docs, threshold = 0.8, bandsOverride = 16)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 3L)))
     assert(pairs.contains((0L, 1L)), "one-word-suffix change keeps char-3gram jaccard high")
@@ -141,5 +144,21 @@ class OpsSpec extends AnyFunSuite {
       lit(0.0), (acc, v) => acc + v)).as[Double].head()
     assert(custom === 32.0)
     assert(custom === hof)
+  }
+
+  test("DotProduct returns NULL on mismatched lengths, matching the HOF formulation") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0))).toDF("a", "b")
+    val custom = df.select(graft.functions.DotProduct.dot_product(col("a"), col("b")).as("d"))
+      .collect()(0)
+    assert(custom.isNullAt(0), "length mismatch must yield NULL")
+    val hof = df.select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v).as("d")).collect()(0)
+    assert(hof.isNullAt(0)) // zip_with null-pads -> aggregate is NULL
+    // wrong input type is an analysis error, not a codegen crash
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("x", "y")).toDF("a", "b")
+        .select(graft.functions.DotProduct.dot_product(col("a"), col("b"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("type"))
   }
 }
