@@ -214,7 +214,7 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintUdf()(col("text")).as("fp"))
         .select(col("doc_id"), size(col("fp")).as("n_fp"),
-          element_at(col("fp"), 1).as("fp_min"))
+          concat_ws(",", transform(col("fp"), h => h.cast("string"))).as("fps"))
         .orderBy("doc_id")),
     "qm_multimodal_decode" -> ((s, dir) => {
       val media = t(s, dir, "documents")
@@ -230,7 +230,117 @@ object SparkEntry {
         .orderBy("doc_id")
     }))
 
+  /** Generated DuckDB mirror of Similarity.annTopK: the hyperplane constants
+    * are emitted verbatim (Double.toString round-trips to the identical IEEE
+    * double), buckets/candidates/verification replicate the Spark pipeline
+    * shape exactly — so even the APPROXIMATE operator gets a value-level
+    * oracle, not just a row count.
+    */
+  private def annOracleSql(dims: Int, nPlanes: Int, tables: Int, k: Int): String = {
+    def planeList(seed: Long, p: Int): String =
+      (0 until dims).map(d => Similarity.hyperplane(seed, p, d).toString)
+        .mkString("[", ",", "]")
+    val bucketSelects = (0 until tables).map { tt =>
+      val bits = (0 until nPlanes).map { p =>
+        s"(CASE WHEN list_dot_product(v, ${planeList(42L + tt, p)}::DOUBLE[]) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id AS id, $tt AS t, ($bits) AS bkt FROM e"
+    }.mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS ($bucketSelects),
+        c AS (SELECT DISTINCT l.id AS id, r.id AS nb FROM b l JOIN b r ON l.t = r.t AND l.bkt = r.bkt AND l.id <> r.id),
+        s AS (SELECT c.id, c.nb,
+                     list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS sim
+              FROM c JOIN e ea ON ea.vec_id = c.id JOIN e eb ON eb.vec_id = c.nb),
+        r AS (SELECT id, nb, sim, row_number() OVER (PARTITION BY id ORDER BY sim DESC, nb) AS rk FROM s)
+        SELECT id, rk AS "rank", nb, floor(sim * 1000000 + 0.5) / 1000000 AS sim
+        FROM r WHERE rk <= $k ORDER BY id, rk"""
+  }
+
+  /** DuckDB mirror of Dedup.simhashNearDups over the twinned documents:
+    * token hash = md5_number_lower (bit-identical to the Scala UDF's
+    * low-64-of-MD5), then the same bit-vote, 4x16 banding, and exact
+    * hamming verification. Unsigned arithmetic throughout; the final xor
+    * compares the same 64 bits the Spark path compares.
+    */
+  private val simhashAllOracleSql: String =
+    """WITH d2 AS (SELECT doc_id, text FROM documents
+                   UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents),
+       toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w FROM d2),
+       th AS (SELECT doc_id, md5_number_lower(w)::UBIGINT AS h FROM toks),
+       bits AS (SELECT doc_id, u.i,
+                       sum(CASE WHEN (h >> u.i) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+                FROM th, unnest(range(0, 64)) u(i) GROUP BY doc_id, u.i),
+       sigs AS (SELECT doc_id,
+                       sum(CASE WHEN cnt > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END)::UBIGINT AS u
+                FROM bits GROUP BY doc_id),
+       banded AS (SELECT doc_id, b.b, ((u >> (16 * b.b)) & 65535) AS key
+                  FROM sigs, unnest(range(0, 4)) b(b)),
+       pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                 FROM banded l JOIN banded r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id)
+       SELECT p.a, p.b, bit_count(xor(sa.u, sb.u)) AS hamming
+       FROM pairs p JOIN sigs sa ON sa.doc_id = p.a JOIN sigs sb ON sb.doc_id = p.b
+       WHERE bit_count(xor(sa.u, sb.u)) <= 3
+       ORDER BY p.a, p.b"""
+
   def oracleSql: Map[String, String] = Map(
+    "qd_knn_brute" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         s AS (SELECT a.vec_id AS id, b.vec_id AS nb,
+                      list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+               FROM e a, e b WHERE a.vec_id <> b.vec_id),
+         r AS (SELECT id, nb, sim, row_number() OVER (PARTITION BY id ORDER BY sim DESC, nb) AS rk FROM s)
+         SELECT id, rk AS "rank", nb, floor(sim * 1000000 + 0.5) / 1000000 AS sim
+         FROM r WHERE rk <= 5 ORDER BY id, rk""",
+    "qd_ann_lsh" -> annOracleSql(dims = 64, nPlanes = 7, tables = 8, k = 5),
+    "qd_dedup_simhash_all" -> simhashAllOracleSql,
+    "qd_dedup_minhash_all" ->
+      // exact brute-force word-3-shingle Jaccard over all twinned pairs:
+      // valid because the Spark LSH's banded recall is 1.0 on this dataset
+      // (verified by the harness comparing the two row-for-row)
+      """WITH d2 AS (SELECT doc_id, text FROM documents
+                     UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents),
+         sh AS (SELECT doc_id,
+                       CASE WHEN len(ws) < 3 THEN [text]
+                            ELSE list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                       END AS s
+                FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM d2)),
+         j AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                      len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jac
+               FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+         SELECT a, b, floor(jac * 10000 + 0.5) / 10000 AS jaccard
+         FROM j WHERE jac >= 0.7 ORDER BY a, b""",
+    "qd_langid" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w FROM documents),
+         sc AS (SELECT doc_id,
+                  count(*) FILTER (w IN ('the','and','of','to','in','is','that','it','was','for')) AS s_en,
+                  count(*) FILTER (w IN ('der','die','das','und','ist','nicht','ein','mit','sich','auf')) AS s_de,
+                  count(*) FILTER (w IN ('le','la','les','et','est','une','pas','pour','que','dans')) AS s_fr,
+                  count(*) FILTER (w IN ('el','los','las','es','una','por','con','para','del','como')) AS s_es
+                FROM toks GROUP BY doc_id)
+         SELECT doc_id,
+                CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                     -- maxBy((hits, lang)) tie-break: lexicographically
+                     -- GREATEST language wins -> fr > es > en > de
+                     WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                     WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                     WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                     ELSE 'de' END AS pred_lang
+         FROM sc ORDER BY doc_id""",
+    "qd_fingerprint" ->
+      """WITH g AS (SELECT doc_id, u.i,
+                      (ord(substr(text, u.i, 1))::BIGINT * 362470373 + ord(substr(text, u.i+1, 1))::BIGINT * 16974593 +
+                       ord(substr(text, u.i+2, 1))::BIGINT * 66049 + ord(substr(text, u.i+3, 1))::BIGINT * 257 +
+                       ord(substr(text, u.i+4, 1))::BIGINT) % 1000000007 AS h,
+                      length(text) - 4 AS nh
+                  FROM documents, unnest(range(1, length(text) - 3)) u(i)),
+         m AS (SELECT doc_id, i, nh,
+                      min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS w
+               FROM g)
+         SELECT doc_id, len(fp) AS n_fp, array_to_string(fp, ',') AS fps
+         FROM (SELECT doc_id, list_sort(list_distinct(list(w))) AS fp
+               FROM m WHERE i + 3 <= nh GROUP BY doc_id)
+         ORDER BY doc_id""",
     "q02_fetch_join_inner" ->
       """SELECT l_orderkey AS okey, count(*) AS n_items, round(sum(l_extendedprice), 2) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -115,7 +115,7 @@ object Dedup {
     attachPayloads(pairs, shingled, "sh")
       .withColumn("jaccard", jaccard(col("sha"), col("shb")))
       .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("a"), col("b"), TextAnalysis.halfUp(col("jaccard"), 4).as("jaccard"))
   }
 
   // ---------- simhash ----------
@@ -123,14 +123,22 @@ object Dedup {
   /** 64-bit SimHash over whitespace tokens. A Scala UDF (bit-counting loop);
     * cheap relative to the shuffle it feeds, upgrade to a codegen Expression
     * only if profiled hot.
+    *
+    * Token hash = low 64 bits of MD5 (digest bytes 8..15, little-endian) —
+    * chosen because it is exactly reproducible in the DuckDB oracle
+    * (`md5_number_lower`), so the whole simhash pipeline is SQL-checkable
+    * end to end, unlike a JVM-private mixing chain.
     */
   val simhash64 = udf { (text: String) =>
     if (text == null) 0L
     else {
+      val md = java.security.MessageDigest.getInstance("MD5")
       val counts = new Array[Int](64)
       for (tok <- text.split("\\s+") if tok.nonEmpty) {
-        var h = 0x9E3779B97F4A7C15L * tok.hashCode
-        h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L; h ^= h >>> 27
+        val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        var j = 15
+        while (j >= 8) { h = (h << 8) | (d(j) & 0xFFL); j -= 1 }
         var i = 0
         while (i < 64) { counts(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
       }
@@ -196,6 +204,6 @@ object Dedup {
     attachPayloads(pairs, grams, "sh")
       .withColumn("jaccard", jaccard(col("sha"), col("shb")))
       .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("a"), col("b"), TextAnalysis.halfUp(col("jaccard"), 4).as("jaccard"))
   }
 }

@@ -43,11 +43,14 @@ object Similarity {
       .withColumn("sim", cosine(col("va"), col("vb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("id"), col("rank"), col("nb"), round(col("sim"), 6).as("sim"))
+      .select(col("id"), col("rank"), col("nb"), TextAnalysis.halfUp(col("sim"), 6).as("sim"))
   }
 
-  /** deterministic pseudo-random hyperplane component (splitmix64 → [-1,1)) */
-  private def hyperplane(seed: Long, plane: Int, dim: Int): Double = {
+  /** deterministic pseudo-random hyperplane component (splitmix64 → [-1,1));
+    * private[graft] so SparkEntry can emit the identical constants into the
+    * generated DuckDB oracle SQL
+    */
+  private[graft] def hyperplane(seed: Long, plane: Int, dim: Int): Double = {
     var z = seed + plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L
     z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
     z ^= z >>> 27; z *= 0x94D049BB133111EBL
@@ -107,7 +110,7 @@ object Similarity {
     attachVectors(pairs, vecs, "a", "b")
       .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
-      .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
+      .select(col("a"), col("b"), TextAnalysis.halfUp(col("sim"), 4).as("sim"))
   }
 
   /** Approximate NN: bucket by hyperplane signature (optionally multi-probe
@@ -128,6 +131,6 @@ object Similarity {
       .withColumn("sim", cosine(col("va"), col("vb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("id"), col("rank"), col("nb"), round(col("sim"), 6).as("sim"))
+      .select(col("id"), col("rank"), col("nb"), TextAnalysis.halfUp(col("sim"), 6).as("sim"))
   }
 }

@@ -44,11 +44,17 @@ object TextAnalysis {
 
   // ---------- quality score (pure Column, SQL-oracle-able) ----------
 
-  /** explicit HALF_UP at 4 decimals via floor — identical IEEE double ops in
-    * Spark and DuckDB, so oracle comparison is bit-stable even on exact
-    * .xxxx5 boundaries where engines' round() rules differ
+  /** Explicit half-up (toward +inf) rounding via floor — identical IEEE
+    * double ops in Spark and DuckDB, so oracle comparison is bit-stable even
+    * on exact .5 boundaries where the engines' round() rules differ. Every
+    * float-valued query output goes through this on BOTH sides.
     */
-  def r4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+  def halfUp(c: Column, digits: Int): Column = {
+    val m = math.pow(10.0, digits)
+    floor(c * m + 0.5) / m
+  }
+
+  def r4(c: Column): Column = halfUp(c, 4)
 
 
   /** length / punctuation-ratio / stopword-ratio / mean-word-length features
@@ -91,29 +97,41 @@ object TextAnalysis {
 
   // ---------- document fingerprint (winnowing, Schleimer et al. 2003) ----------
 
-  /** Rolling-hash winnowing fingerprint: k-gram Rabin hashes, window minima.
-    * Returns a sorted distinct array<long>. UDF by design: a tight rolling
-    * loop has no built-in equivalent; output is tiny vs the text input.
+  /** Rolling-hash winnowing fingerprint: polynomial k-gram hashes mod
+    * 1e9+7 (base 257), window minima, sorted distinct array<long>.
+    *
+    * Mod-p (NOT Java wrap-around mod 2^64) arithmetic by design: every hash
+    * is a plain non-negative sum-of-products expressible in ANSI SQL, so the
+    * DuckDB oracle recomputes the identical fingerprints from the raw text.
+    * UDF because a rolling loop has no built-in equivalent; output is tiny
+    * vs the text input.
     */
+  val FpMod = 1000000007L
+  val FpBase = 257L
+
   def fingerprintUdf(k: Int = 5, window: Int = 4) = udf { (text: String) =>
-    if (text == null || text.length < k) Array.empty[Long]
+    if (text == null || text.length < k + window - 1) Array.empty[Long]
     else {
       val s = text.toLowerCase
-      val B = 1000000007L
-      var pow = 1L
-      (1 until k).foreach(_ => pow = pow * B)
-      val hashes = new Array[Long](s.length - k + 1)
+      val M = FpMod
+      val B = FpBase
+      var powK1 = 1L // B^(k-1) mod M
+      (1 until k).foreach(_ => powK1 = powK1 * B % M)
+      val n = s.length - k + 1
+      val hashes = new Array[Long](n)
       var h = 0L
       var i = 0
-      while (i < s.length) {
-        h = h * B + s.charAt(i)
-        if (i >= k) h -= pow * B * s.charAt(i - k)
-        if (i >= k - 1) hashes(i - k + 1) = h
+      while (i < k) { h = (h * B + s.charAt(i)) % M; i += 1 }
+      hashes(0) = h
+      i = 1
+      while (i < n) {
+        h = ((h - s.charAt(i - 1) * powK1 % M + M) % M * B + s.charAt(i + k - 1)) % M
+        hashes(i) = h
         i += 1
       }
       val out = scala.collection.mutable.SortedSet[Long]()
       var w = 0
-      while (w + window <= hashes.length) {
+      while (w + window <= n) {
         var m = hashes(w)
         var j = 1
         while (j < window) { if (hashes(w + j) < m) m = hashes(w + j); j += 1 }
