@@ -48,18 +48,32 @@ final case class CrawlOutcome(store: SnapshotStore, roundsRun: Int, lastRound: I
   }
 }
 
+/** PRECONDITION on `pages`: one row per url. Common-Crawl-style stores hold
+  * multiple captures per URL — collapse them ONCE with
+  * [[PageStore.latestCapture]] (or prepare the store with
+  * [[PageStore.prepareBucketed]], which also dedups and buckets by urlHash
+  * so the fetch join never re-shuffles the store side). Duplicate rows would
+  * multiply fetch hits and duplicate runner-result keys.
+  */
 class CrawlLoop(
     spark: SparkSession,
     cfg: CrawlConfig,
-    pages: DataFrame,
+    pages0: DataFrame,
     robots: Dataset[RobotsRule],
     runners: Map[String, PageRunner],
     store: SnapshotStore) {
 
   import spark.implicits._
   private val fc = CrawlRound.FrontierCols.map(col)
+  /** fetch joins key on urlHash; computing it here (if absent) keeps raw
+    * stores working — but only a store PREPARED with the hash materialized
+    * and bucketed gets the shuffle-free scan
+    */
+  private val pages = PageStore.withUrlHash(pages0)
   // one action at loop construction, not one per round
   private lazy val robotsEmpty: Boolean = robots.isEmpty
+
+  private val SeenSchemaDdl = "url STRING, urlHash BIGINT"
 
   /** canonicalize + dedupe seeds driver-side (a seed list is tiny) */
   private def seedFrontier(seeds: Seq[String]): (DataFrame, Set[String]) = {
@@ -99,17 +113,24 @@ class CrawlLoop(
     }
   }
 
-  /** seen set as of round k: latest compacted snapshot + deltas since */
-  private def readSeen(k: Int): DataFrame =
+  /** Seen set as of round k, as SNAPSHOT PARTS for chained anti-joins: the
+    * latest compacted base (a bucketed table — its anti-join needs no
+    * Exchange on this, the big, side) plus the uncompacted per-round deltas
+    * as one union. Never merged into one frame: a union would erase the
+    * base's bucketing.
+    */
+  private def readSeen(k: Int): Seq[DataFrame] =
     store.latestExisting("seen_all", k) match {
       case Some(c) =>
         val deltas = (c + 1) to k
-        val base = store.read("seen_all", c).select("url", "urlHash")
-        if (deltas.isEmpty) base
-        else base.unionByName(
+        val base = store.readBucketed("seen_all", c, SeenSchemaDdl, "urlHash", cfg.shards)
+          .select("url", "urlHash")
+        if (deltas.isEmpty) Seq(base)
+        else Seq(
           spark.read.parquet(deltas.map(store.tablePath("seen_add", _)): _*)
-            .select("url", "urlHash"))
-      case None => store.readUpTo("seen_add", k).select("url", "urlHash")
+            .select("url", "urlHash"),
+          base)
+      case None => Seq(store.readUpTo("seen_add", k).select("url", "urlHash"))
     }
 
   /** Run (or resume) the crawl to completion. */
@@ -163,8 +184,10 @@ class CrawlLoop(
       }.toSeq
       store.write("lineage", k, spark.createDataset(lineage).toDF())
       if (cfg.compactSeenEvery > 0 && (k + 1) % cfg.compactSeenEvery == 0)
-        store.write("seen_all", k + 1, readSeen(k).unionByName(
-          store.read("seen_add", k + 1).select("url", "urlHash")))
+        store.writeBucketed("seen_all", k + 1,
+          readSeen(k).reduce(_ unionByName _)
+            .unionByName(store.read("seen_add", k + 1).select("url", "urlHash")),
+          "urlHash", cfg.shards)
 
       frontierCount = byStage("budget_deferred") + byStage("retries") + byStage("fresh")
       store.commit(k + 1, Map(

@@ -27,6 +27,45 @@ object CrawlRound {
 
   val FrontierCols: Seq[String] = Seq("url", "urlHash", "host", "depth", "seq", "attempt")
 
+  /** The "fetch": join the frontier against the page store. The equi-key is
+    * `urlHash` ONLY — 8-byte shuffle/sort keys instead of 60-80-byte URL
+    * strings, and a store prepared with [[PageStore.prepareBucketed]] then
+    * satisfies the join's required distribution straight off the scan (no
+    * Exchange on the 100-TB side, PlanSpec-pinned). `url` equality applies
+    * as a residual filter, which keeps the join EXACT under 64-bit hash
+    * collisions (certain at 10^10 rows by birthday bound).
+    */
+  private[graft] def fetchJoin(pages: DataFrame, frontier: DataFrame,
+                               broadcastFrontier: Boolean): DataFrame = {
+    val f = frontier.withColumnRenamed("url", "__furl").withColumnRenamed("urlHash", "__fhash")
+    val fj = if (broadcastFrontier) broadcast(f) else f
+    // url equality is phrased >=/<= so Catalyst does NOT lift it into the
+    // equi-keys (a plain === becomes a join key, re-shuffling the bucketed
+    // store side on (urlHash, url)); as a residual it is evaluated per
+    // hash-matched pair, which keeps the join exact AND the store scan
+    // exchange-free
+    pages.join(fj,
+      col("urlHash") === col("__fhash") &&
+        col("url") >= col("__furl") && col("url") <= col("__furl"),
+      "inner")
+      .drop("__furl", "__fhash")
+  }
+
+  /** Exact anti-join vs one seen snapshot. Equi-key is `urlHash`; the `url`
+    * equality residual is phrased as a >=/<= pair so Catalyst keeps it OUT
+    * of the shuffle keys — a bucketed seen snapshot (seen_all compaction)
+    * then anti-joins with no Exchange on the seen side, and unbucketed
+    * deltas shuffle on the 8-byte hash instead of the string. Exact under
+    * hash collisions: a row drops only when hash AND url both match.
+    */
+  private[graft] def seenAntiJoin(cand: DataFrame, seen: DataFrame): DataFrame = {
+    val s = seen.select(col("urlHash").as("__shash"), col("url").as("__surl"))
+    cand.join(s,
+      col("urlHash") === col("__shash") &&
+        col("url") >= col("__surl") && col("url") <= col("__surl"),
+      "left_anti")
+  }
+
   final case class RoundOut(
       nextFrontier: DataFrame,
       fresh: DataFrame,
@@ -45,7 +84,10 @@ object CrawlRound {
       pages: DataFrame,
       robots: Dataset[RobotsRule],
       robotsEmpty: Boolean,
-      seen: DataFrame, // url, urlHash
+      /** seen-set snapshots (each: url, urlHash) — typically one compacted
+        * bucketed base + the recent uncompacted deltas; anti-joined in turn
+        */
+      seenParts: Seq[DataFrame],
       bloomDirPrev: Option[String],
       seedHosts: Set[String],
       runners: Map[String, PageRunner]): RoundOut = {
@@ -67,9 +109,9 @@ object CrawlRound {
     val admitted = admitted0.select(fc: _*).persist(StorageLevel.MEMORY_AND_DISK)
     val deferred = maybePersist(deferred0.select(fc: _*))
 
-    // 4. the "fetch": join against the page store. The store is the big
-    // streamed side; the frontier broadcasts when small (BASELINE.json:6).
-    val admittedJ = if (fCount <= cfg.broadcastFrontierMaxRows) broadcast(admitted) else admitted
+    // 4. the "fetch": join against the page store on urlHash (fetchJoin).
+    // The store is the big streamed side — shuffle-free when bucketed by
+    // urlHash — and the frontier broadcasts when small (BASELINE.json:6).
     // prune the cached fetch payload: runners need the full Page, otherwise
     // only the decoded html survives (halves the per-round cache churn)
     val pageCols =
@@ -78,18 +120,16 @@ object CrawlRound {
     // link extraction runs INSIDE the join stage, before the cache: what is
     // cached per hit is the small (redir, links[]) pair, never the ~KB html
     // payload — the cache is the round's hottest memory traffic
-    val hits = pages
-      .join(admittedJ, Seq("url"), "inner")
+    val hits = fetchJoin(pages, admitted, fCount <= cfg.broadcastFrontierMaxRows)
       .withColumn("htmlStr", Extract.htmlStrCol(col("html")))
       .withColumn("redir", Extract.redirectTargetCol(col("htmlStr")))
       .withColumn("links", Extract.linksCol(col("htmlStr")))
       .select((fc ++ pageCols :+ col("redir") :+ col("links")): _*)
       .transform(maybePersist)
 
-    val hitUrls = hits.select("url")
-    val misses = admitted.join(
-      if (fCount <= cfg.broadcastFrontierMaxRows) broadcast(hitUrls) else hitUrls,
-      Seq("url"), "left_anti")
+    val hitKeys = hits.select("url", "urlHash")
+    val misses = seenAntiJoin(admitted,
+      if (fCount <= cfg.broadcastFrontierMaxRows) broadcast(hitKeys) else hitKeys)
     val retries = maybePersist(misses
       .filter(col("attempt") + 1 < cfg.maxTries)
       .withColumn("attempt", col("attempt") + 1)
@@ -184,16 +224,17 @@ object CrawlRound {
       .select(col("url"), col("m.urlHash").as("urlHash"), col("m.host").as("host"),
         col("m.depth").as("depth"), col("m.seq").as("seq"), col("m.attempt").as("attempt"),
         col("__dups")))
+    def antiAllSeen(cand: DataFrame): DataFrame =
+      seenParts.foldLeft(cand)((df, s) => seenAntiJoin(df, s))
     val fresh0 = bloomDirPrev match {
       case Some(dir) if cfg.bloomPrefilter =>
         val w = winnowed.select(fc: _*).withColumn("__maybe",
           BloomShards.mightBeSeen(dir)(BloomShards.shardCol(col("urlHash"), cfg.shards), col("urlHash")))
         val definitelyNew = w.filter(!col("__maybe")).select(fc: _*)
-        val needExact = w.filter(col("__maybe")).select(fc: _*)
-          .join(seen.select("url"), Seq("url"), "left_anti")
+        val needExact = antiAllSeen(w.filter(col("__maybe")).select(fc: _*))
         definitelyNew.unionByName(needExact)
       case _ =>
-        winnowed.select(fc: _*).join(seen.select("url"), Seq("url"), "left_anti")
+        antiAllSeen(winnowed.select(fc: _*))
     }
     val fresh = maybePersist(fresh0.select(fc: _*))
 

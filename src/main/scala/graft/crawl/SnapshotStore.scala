@@ -31,6 +31,34 @@ class SnapshotStore(val root: String, spark: SparkSession) {
   def write(table: String, round: Int, df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(tablePath(table, round))
 
+  private def tableIdent(table: String, round: Int): String =
+    s"graft_${table}_r${round}_${(root.hashCode & 0x7FFFFFFF).toHexString}"
+
+  /** Write one per-round snapshot as a BUCKETED external parquet table
+    * (bucketBy+sortBy on `bucketCol`) so downstream per-round joins against
+    * it need no Exchange on this side. Iceberg analog: a bucket partition
+    * transform on the snapshot table.
+    */
+  def writeBucketed(table: String, round: Int, df: DataFrame,
+                    bucketCol: String, buckets: Int): Unit = {
+    val ident = tableIdent(table, round)
+    spark.sql(s"DROP TABLE IF EXISTS `$ident`")
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .option("path", tablePath(table, round))
+      .saveAsTable(ident)
+  }
+
+  /** Read a snapshot written by [[writeBucketed]], re-registering the
+    * bucketed table in a fresh session (resume: the in-memory catalog dies
+    * with the JVM; the data + bucket layout don't). `schemaDdl`/`buckets`
+    * must match the writer's.
+    */
+  def readBucketed(table: String, round: Int, schemaDdl: String,
+                   bucketCol: String, buckets: Int): DataFrame =
+    PageStore.reattach(spark, tableIdent(table, round), tablePath(table, round),
+      schemaDdl, bucketCol, buckets)
+
   /** atomic commit marker: temp file + rename (atomic on one FS) */
   def commit(round: Int, meta: Map[String, Long]): Unit = {
     val m = manifest(round)
@@ -94,5 +122,13 @@ class SnapshotStore(val root: String, spark: SparkSession) {
     val p = new Path(root)
     val f = fs(p)
     if (f.exists(p)) f.delete(p, true)
+    // drop this store's catalog entries so a reused session can't resolve
+    // bucketed tables whose files are gone
+    val prefix = s"graft_"
+    val suffix = s"_${(root.hashCode & 0x7FFFFFFF).toHexString}"
+    spark.catalog.listTables().collect()
+      .map(_.name)
+      .filter(n => n.startsWith(prefix) && n.endsWith(suffix))
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
   }
 }

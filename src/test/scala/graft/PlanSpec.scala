@@ -71,6 +71,54 @@ class PlanSpec extends AnyFunSuite {
       "partial aggregate must sit below the exchange (map side)")
   }
 
+  test("bucketed page store: fetch join plans with NO Exchange on the store side") {
+    import spark.implicits._
+    val fix = graft.fixtures.Fixtures.FixtureConfig(nHosts = 3, maxPagesPerHost = 12)
+    val pagesDf = spark.createDataset(graft.fixtures.Fixtures.generate(fix)).toDF()
+    val pages = graft.crawl.PageStore.prepareBucketed(
+      spark, pagesDf, "t_pages_bucketed_planspec", 4, SparkTestBase.tmpDir("bucketed-pages"))
+    val frontier = pagesDf.select(col("url"), xxhash64(col("url")).as("urlHash")).limit(20)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = graft.crawl.CrawlRound.fetchJoin(pages, frontier, broadcastFrontier = false)
+        .select("url")
+      joined.collect()
+      // AQE toString includes the pre-execution "Initial Plan" — assert on
+      // the final executed section only
+      val full = joined.queryExecution.executedPlan.toString
+      val plan = full.split("== Initial Plan ==")(0)
+      assert(plan.contains("Bucketed: true"), s"store scan not bucketed:\n$plan")
+      val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(nExchanges == 1,
+        s"expected exactly 1 exchange (the frontier side), got $nExchanges:\n$plan")
+      assert(plan.contains("hashpartitioning(__fhash"),
+        s"frontier must shuffle on the 8-byte hash, not the url string:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("seen anti-join: shuffles on urlHash only, exact under hash collisions") {
+    import spark.implicits._
+    // two different urls sharing a (synthetic) hash: the collision victim
+    // must SURVIVE the anti-join — url equality rides as a residual
+    val cand = Seq(("http://a.test/x", 7L), ("http://a.test/y", 8L)).toDF("url", "urlHash")
+    val seen = Seq(("http://b.test/colliding", 7L), ("http://a.test/y", 8L)).toDF("url", "urlHash")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val anti = graft.crawl.CrawlRound.seenAntiJoin(cand, seen)
+      val rows = anti.select("url").as[String].collect().toSet
+      assert(rows === Set("http://a.test/x"),
+        "hash-colliding candidate with a DIFFERENT url must survive; exact match must drop")
+      val plan = anti.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftAnti"), s"expected left-anti join:\n$plan")
+      assert(plan.contains("hashpartitioning(urlHash") || plan.contains("hashpartitioning(__shash"),
+        s"anti-join must partition on the hash:\n$plan")
+      assert(!plan.contains("hashpartitioning(url#") && !plan.contains("hashpartitioning(url,"),
+        s"anti-join must NOT partition on the url string:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("minhash LSH near-dups plan as bucket equi-joins, not cross joins") {
     val df = SparkEntry.queries("qd_dedup_minhash")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
