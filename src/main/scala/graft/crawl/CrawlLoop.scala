@@ -28,7 +28,7 @@ final case class CrawlOutcome(store: SnapshotStore, roundsRun: Int, lastRound: I
     else read
   def order(spark: SparkSession): DataFrame =
     emptyOr[graft.model.CrawlOrderRow](spark)(
-      store.readUpTo("order", lastRound).orderBy(col("round"), col("depth"), col("seq")))
+      store.readUpTo("order", lastRound).orderBy(col("round"), col("pord"), col("pos")))
   def seen(spark: SparkSession): DataFrame = store.readUpTo("seen_add", lastRound + 1)
   def results(spark: SparkSession): DataFrame =
     emptyOr[graft.model.RunnerResult](spark)(store.readUpTo("results", lastRound))
@@ -75,14 +75,16 @@ class CrawlLoop(
 
   private val SeenSchemaDdl = "url STRING, urlHash BIGINT"
 
-  /** canonicalize + dedupe seeds driver-side (a seed list is tiny) */
+  /** canonicalize + dedupe seeds driver-side (a seed list is tiny);
+    * seed i gets key (pord = -1, pos = i) — before every fetched page
+    */
   private def seedFrontier(seeds: Seq[String]): (DataFrame, Set[String]) = {
     val entries = seeds.zipWithIndex
       .flatMap { case (s, i) =>
         Urls.canonicalizeAbsolute(s).map(u =>
-          FrontierEntry(u, 0L, Urls.hostOf(u), 0, Seq(i.toLong), 0))
+          FrontierEntry(u, 0L, Urls.hostOf(u), 0, -1L, i.toLong, 0))
       }
-      .groupBy(_.url).values.map(_.minBy(_.seq.head)).toSeq.sortBy(_.seq.head)
+      .groupBy(_.url).values.map(_.minBy(_.pos)).toSeq.sortBy(_.pos)
     val df = spark.createDataset(entries).toDF()
       .withColumn("urlHash", xxhash64(col("url")))
       .select(fc: _*)
@@ -99,7 +101,7 @@ class CrawlLoop(
         .select(BloomShards.shardCol(col("urlHash"), cfg.shards).as("shard"), col("urlHash")),
       None, store.bloomDir(0), cfg)
     val n = store.read("frontier", 0).count()
-    store.commit(0, Map("frontier" -> n))
+    store.commit(0, Map("frontier" -> n, "ord_next" -> 0L))
   }
 
   private val timing = sys.env.contains("GRAFT_TIMING")
@@ -146,13 +148,16 @@ class CrawlLoop(
     var k = startRound
     var frontierCount = store.committedMeta(k).flatMap(_.get("frontier"))
       .getOrElse(store.read("frontier", k).count())
+    // fetch-ordinal watermark: committed per round so a resumed run mints
+    // ordinals from exactly where the killed run left off
+    var ordBase = store.committedMeta(k).flatMap(_.get("ord_next")).getOrElse(0L)
     var rounds = 0
     while (frontierCount > 0 && k < cfg.maxRounds) {
       val t0 = System.nanoTime()
       val frontier = store.read("frontier", k)
       val seen = readSeen(k)
       val out = CrawlRound.execute(spark, cfg, k, frontier, frontierCount, pages,
-        robots, robotsEmpty, seen, Some(store.bloomDir(k)), seedHosts, runners)
+        robots, robotsEmpty, seen, Some(store.bloomDir(k)), seedHosts, runners, ordBase)
 
       // ONE pass computes the whole round into the per-round caches...
       timed(k, "materialize") { out.fresh.count() }
@@ -190,10 +195,12 @@ class CrawlLoop(
           "urlHash", cfg.shards)
 
       frontierCount = byStage("budget_deferred") + byStage("retries") + byStage("fresh")
+      ordBase = CrawlRound.nextOrdBase(ordBase, math.max(1, cfg.shards))
       store.commit(k + 1, Map(
         "frontier" -> frontierCount,
         "fetched" -> byStage("fetched"),
         "discovered" -> byStage("discovered"),
+        "ord_next" -> ordBase,
         "wall_ms" -> wallMs))
       out.persisted.foreach(_.unpersist())
       k += 1

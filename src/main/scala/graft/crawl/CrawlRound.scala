@@ -6,7 +6,7 @@ import graft.model._
 import graft.robots.Robots
 import graft.sched.Politeness
 import graft.url.{Policy, UrlFunctions}
-import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -25,7 +25,41 @@ import org.apache.spark.storage.StorageLevel
   */
 object CrawlRound {
 
-  val FrontierCols: Seq[String] = Seq("url", "urlHash", "host", "depth", "seq", "attempt")
+  val FrontierCols: Seq[String] = Seq("url", "urlHash", "host", "depth", "pord", "pos", "attempt")
+
+  /** ordinal spacing: ord = base + (rangePartitionId << 40) + rowInPartition */
+  private val OrdShift = 40
+
+  /** Mint each fetched row's fetch ordinal `ord`: an opaque long, strictly
+    * monotone with the round's (pord, pos) enqueue order and greater than
+    * every ordinal of earlier rounds. Ordinals are SPARSE — range-partition
+    * index << 40 plus the row's index within its (sorted) partition — so no
+    * global rank/count job is needed: one range shuffle + one mapPartitions
+    * pass. Children inherit `ord` as their `pord`, which keeps frontier keys
+    * at a CONSTANT 16 bytes at any crawl depth (a path-vector key grows 8
+    * bytes per level and rides every shuffle/sort; SURVEY.md §7.4 risk).
+    * Values differ across parallelism levels; every ORDERING derived from
+    * them (the parity contract) is invariant.
+    */
+  private def assignOrdinals(spark: SparkSession, df: DataFrame,
+                             ordBase: Long, partitions: Int): DataFrame = {
+    val sorted = df
+      .repartitionByRange(partitions, col("pord"), col("pos"))
+      .sortWithinPartitions(col("pord"), col("pos"))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("ord", org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val pidBase = ordBase + (pid.toLong << OrdShift)
+      var i = 0L
+      it.map { r => val out = Row.fromSeq(r.toSeq :+ (pidBase + i)); i += 1; out }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** first ordinal of the NEXT round given this round's base */
+  def nextOrdBase(ordBase: Long, partitions: Int): Long =
+    ordBase + (partitions.toLong << OrdShift)
 
   /** The "fetch": join the frontier against the page store. The equi-key is
     * `urlHash` ONLY — 8-byte shuffle/sort keys instead of 60-80-byte URL
@@ -90,7 +124,11 @@ object CrawlRound {
       seenParts: Seq[DataFrame],
       bloomDirPrev: Option[String],
       seedHosts: Set[String],
-      runners: Map[String, PageRunner]): RoundOut = {
+      runners: Map[String, PageRunner],
+      /** first fetch ordinal this round may mint (CrawlLoop threads it
+        * through commits so resume mints identical ordinals)
+        */
+      ordBase: Long): RoundOut = {
     import spark.implicits._
     val noCache = sys.env.contains("GRAFT_NO_PERSIST")
     def maybePersist(df: DataFrame): DataFrame =
@@ -137,7 +175,8 @@ object CrawlRound {
     val exhausted = misses.filter(col("attempt") + 1 >= cfg.maxTries)
 
     // 5. crawl order rows for every successful fetch
-    val order = hits.select(col("url"), lit(round).as("round"), col("depth"), col("seq"))
+    val order = hits.select(col("url"), lit(round).as("round"), col("depth"),
+      col("pord"), col("pos"))
 
     // results: fetch errors + redirect records + runner outputs
     val errResults = exhausted.select(col("url"), lit(round).as("round"),
@@ -165,8 +204,15 @@ object CrawlRound {
       }
     val results = errResults.unionByName(redirResults).unionByName(runnerResults)
 
-    // 5b. discovery: Catalyst-planned link extraction (codegen'd built-ins);
+    // 5b. discovery. First mint this round's fetch ordinals (one range
+    // shuffle over the depth-eligible hits; children inherit them as pord),
+    // then Catalyst-planned link extraction (codegen'd built-ins);
     // canonicalize+host is ONE UDF pass (the only UDF on the hot path)
+    val ranked = maybePersist(assignOrdinals(spark,
+      hits.filter(lit(cfg.maxDepth) >= col("depth") + 1)
+        .select(col("url"), col("depth"), col("pord"), col("pos"), col("redir"), col("links")),
+      ordBase, math.max(1, cfg.shards)))
+
     def canonHost(base: Column, raw: Column): (Column, Column) = cfg.rewrite match {
       case None => (col("ch._1"), col("ch._2"))
       case Some(_) =>
@@ -175,9 +221,9 @@ object CrawlRound {
     }
     val linkCand = {
       val (curl, chost) = canonHost(col("parentUrl"), col("href"))
-      hits
-        .filter(col("redir").isNull && lit(cfg.maxDepth) >= col("depth") + 1)
-        .select(col("url").as("parentUrl"), col("depth"), col("seq"),
+      ranked
+        .filter(col("redir").isNull)
+        .select(col("url").as("parentUrl"), col("depth"), col("ord"),
           posexplode(col("links")).as(Seq("pos", "href")))
         .withColumn("ch", UrlFunctions.canonicalizeWithHost(col("parentUrl"), col("href")))
         .filter(col("ch").isNotNull)
@@ -186,7 +232,7 @@ object CrawlRound {
         .filter(Policy.allowsCol(cfg.policy, col("curl"), col("chost"), seedHosts))
         .select(col("curl").as("url"), xxhash64(col("curl")).as("urlHash"),
           col("chost").as("host"), (col("depth") + 1).as("depth"),
-          concat(col("seq"), array(col("pos").cast("long"))).as("seq"),
+          col("ord").as("pord"), col("pos").cast("long").as("pos"),
           lit(0).as("attempt"))
     }
 
@@ -194,8 +240,8 @@ object CrawlRound {
       if (!cfg.followRedirects) linkCand.limit(0)
       else {
         val (curl, chost) = canonHost(col("url"), col("redir"))
-        hits
-          .filter(col("redir").isNotNull && lit(cfg.maxDepth) >= col("depth") + 1)
+        ranked
+          .filter(col("redir").isNotNull)
           .withColumn("ch", UrlFunctions.canonicalizeWithHost(col("url"), col("redir")))
           .filter(col("ch").isNotNull)
           .withColumn("curl", curl)
@@ -203,27 +249,29 @@ object CrawlRound {
           .filter(Policy.allowsCol(cfg.redirectPolicy, col("curl"), col("chost"), seedHosts))
           .select(col("curl").as("url"), xxhash64(col("curl")).as("urlHash"),
             col("chost").as("host"), (col("depth") + 1).as("depth"),
-            concat(col("seq"), array(lit(0L))).as("seq"),
+            col("ord").as("pord"), lit(0L).as("pos"),
             lit(0).as("attempt"))
       }
 
     val candidates = linkCand.unionByName(redirCand)
 
-    // 6. dedup: within-round winner = min (depth, seq) per url — a hash
+    // 6. dedup: within-round winner = min (pord, pos) per url — first
+    // enqueue wins, as in the reference's seen-at-enqueue Map. A hash
     // aggregate, NOT a window: partial (map-side) aggregation collapses the
-    // duplicate-heavy candidate stream before it ever shuffles, where a
-    // window would shuffle + sort every candidate row. The duplicate count
-    // rides along in the same aggregate, so the raw candidate stream is
-    // consumed exactly once and never cached. Then the EXACT anti-join vs
-    // the seen set; bloom shards pre-filter so rows the filter proves
-    // unseen skip the anti-join shuffle entirely.
+    // duplicate-heavy candidate stream before it ever shuffles (and the
+    // fixed-width key keeps it a HashAggregate), where a window would
+    // shuffle + sort every candidate row. The duplicate count rides along
+    // in the same aggregate, so the raw candidate stream is consumed
+    // exactly once and never cached. Then the EXACT anti-join vs the seen
+    // set; bloom shards pre-filter so rows the filter proves unseen skip
+    // the anti-join shuffle entirely.
     val winnowed = maybePersist(candidates
       .groupBy(col("url"))
-      .agg(min(struct(col("depth"), col("seq"), col("urlHash"), col("host"), col("attempt"))).as("m"),
+      .agg(min(struct(col("pord"), col("pos"), col("depth"), col("urlHash"), col("host"), col("attempt"))).as("m"),
         count(lit(1)).as("__dups"))
       .select(col("url"), col("m.urlHash").as("urlHash"), col("m.host").as("host"),
-        col("m.depth").as("depth"), col("m.seq").as("seq"), col("m.attempt").as("attempt"),
-        col("__dups")))
+        col("m.depth").as("depth"), col("m.pord").as("pord"), col("m.pos").as("pos"),
+        col("m.attempt").as("attempt"), col("__dups")))
     def antiAllSeen(cand: DataFrame): DataFrame =
       seenParts.foldLeft(cand)((df, s) => seenAntiJoin(df, s))
     val fresh0 = bloomDirPrev match {
@@ -263,6 +311,6 @@ object CrawlRound {
       .groupBy(col("shard"), col("stage")).agg(sum(col("w")).as("count"))
 
     RoundOut(nextFrontier, fresh, order, results, stats,
-      persisted = Seq(f, admitted, hits, winnowed, fresh, deferred, retries))
+      persisted = Seq(f, admitted, hits, ranked, winnowed, fresh, deferred, retries))
   }
 }

@@ -15,25 +15,36 @@ final case class Page(
     text: String,
     lang: String)
 
-/** One frontier row. `seq` is the structural discovery-order vector
-  * (parent's seq :+ linkIndex, SURVEY.md §7.4) — crawl order is defined as
-  * lexicographic (round, depth, seq), which is invariant under partitioning,
-  * parallelism level, and resume.
+/** One frontier row. `(pord, pos)` is the structural FIFO enqueue key
+  * (SURVEY.md §7.4): `pord` is the parent's fetch ordinal — an opaque long,
+  * strictly monotone with the parent's own enqueue key across the whole
+  * crawl — and `pos` the link index within the parent page. Crawl order is
+  * lexicographic (round, pord, pos): exactly the reference's FIFO queue
+  * order (children enqueue in parent-fetch order, then document order),
+  * invariant under partitioning, parallelism level, and resume. CONSTANT
+  * 16-byte key at any depth — unlike a path vector, which would grow 8
+  * bytes per level and ride every shuffle and sort.
+  * Seeds carry pord = -1 (before all fetched pages), pos = seed index.
   */
 final case class FrontierEntry(
     url: String,
     urlHash: Long,
     host: String,
     depth: Int,
-    seq: Seq[Long],
+    pord: Long,
+    pos: Long,
     attempt: Int)
 
-/** A fetched-URL record in deterministic crawl order. */
+/** A fetched-URL record; deterministic crawl order = (round, pord, pos).
+  * pord/pos values are opaque (parallelism-dependent spacing); their ORDER
+  * is the invariant.
+  */
 final case class CrawlOrderRow(
     url: String,
     round: Int,
     depth: Int,
-    seq: Seq[Long])
+    pord: Long,
+    pos: Long)
 
 /** Result of one runner (or the built-in pseudo-runners `__redirect__` /
   * `__fetch__`) on one URL — mirrors the reference's nested results object

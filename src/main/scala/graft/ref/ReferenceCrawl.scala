@@ -8,40 +8,49 @@ import graft.url.{Policy, Urls}
 
 /** Embedded sequential reference model (SURVEY.md §0.4, §5.2.1).
   *
-  * `/root/reference/` is empty, so this ~130-line pure-Scala crawler IS the
-  * executable transcription of crawlkit's documented semantics
-  * (BASELINE.json:6: same-domain policy, redirect handling, parallelism
-  * limits generalized to per-host politeness budgets, retry-on-error, BFS
-  * FIFO discovery) — the oracle that the distributed Spark loop must match
-  * on BOTH the final URL-seen set and the exact crawl ordering.
+  * `/root/reference/` is empty, so this pure-Scala crawler IS the executable
+  * transcription of crawlkit's documented semantics (BASELINE.json:6:
+  * same-domain policy, redirect handling, parallelism limits generalized to
+  * per-host politeness budgets, retry-on-error, FIFO queue discovery) — the
+  * oracle that the distributed Spark loop must match on BOTH the final
+  * URL-seen set and the exact crawl ordering.
   *
   * ROUND SPEC (shared by this oracle and graft.crawl.CrawlRound — any edit
   * here must be mirrored there):
-  *   0. frontier_0 = canonicalized seeds, seed i gets seq=[i], depth 0;
-  *      duplicates dropped; all marked seen at enqueue.
-  *   1. Sort frontier by (depth, seq) lexicographic.
+  *   0. frontier_0 = canonicalized seeds; seed i gets key (pord=-1, pos=i),
+  *      depth 0; duplicates dropped; all marked seen at enqueue.
+  *   1. Sort frontier by (pord, pos) — FIFO enqueue order, mirroring the
+  *      reference's async.queue: a row's key is minted once, at enqueue,
+  *      and never changes through deferral or retry.
   *   2. robots filter: drop entries whose host has a matching disallow
   *      prefix not overridden by a longer/equal allow prefix.
   *   3. politeness: per host, admit the first `hostBudget` rows in sorted
   *      order; the rest are deferred unchanged to the next round.
   *   4. fetch = lookup in the page store. Miss: attempt+1 < maxTries ->
-  *      retry next round, else a `__fetch__` error result.
-  *   5. Hit: the URL enters the crawl order (round, depth, seq).
+  *      retry next round (key unchanged), else a `__fetch__` error result.
+  *   5. Hit: the URL enters the crawl order (round, pord, pos) and receives
+  *      the next fetch ordinal `ord` (monotone with fetch chronology).
   *      Redirect page (html = "Location: <t>"): record a `__redirect__`
   *      result; if followRedirects, canonicalize target against the page
-  *      URL, apply redirectPolicy, child seq = seq :+ 0, depth+1.
+  *      URL, apply redirectPolicy, child key = (ord, 0), depth+1.
   *      Normal page: run runners in sorted-key order (results/errors), then
   *      extract links in document order; link i canonicalizes against the
   *      page URL, rewrite applies, policy filters (vs seed hosts), depth cap
-  *      applies; child seq = seq :+ i, depth+1.
-  *   6. Candidates dedup: sort by (depth, seq), keep first occurrence per
+  *      applies; child key = (ord, i), depth+1.
+  *   6. Candidates dedup: sort by (pord, pos), keep first occurrence per
   *      URL not already seen; survivors marked seen at enqueue.
   *   7. frontier_{R+1} = deferred ∪ retries ∪ fresh; stop when empty or
   *      maxRounds reached.
+  *
+  * Ordinal values here are dense (0,1,2,…); the distributed engine mints
+  * sparse ordinals. Both are strictly monotone with the same fetch
+  * chronology, so every derived ORDERING (the parity contract) is
+  * identical; the numeric values themselves are opaque.
   */
 object ReferenceCrawl {
 
-  final case class RefEntry(url: String, host: String, depth: Int, seq: Vector[Long], attempt: Int)
+  final case class RefEntry(url: String, host: String, depth: Int,
+                            pord: Long, pos: Long, attempt: Int)
 
   final case class RefResult(
       order: Vector[CrawlOrderRow],
@@ -49,10 +58,8 @@ object ReferenceCrawl {
       results: Vector[RunnerResult],
       rounds: Int)
 
-  implicit val seqOrd: Ordering[Seq[Long]] =
-    Ordering.Implicits.seqOrdering[Seq, Long](Ordering.Long)
   private val entryOrd: Ordering[RefEntry] =
-    Ordering.by((e: RefEntry) => (e.depth, e.seq: Seq[Long]))
+    Ordering.by((e: RefEntry) => (e.pord, e.pos))
 
   def robotsAllows(rules: Map[String, RobotsRule], url: String, host: String): Boolean =
     rules.get(host) match {
@@ -78,9 +85,10 @@ object ReferenceCrawl {
     val seen = mutable.HashSet[String]()
     val order = Vector.newBuilder[CrawlOrderRow]
     val results = Vector.newBuilder[RunnerResult]
+    var nextOrd = 0L
 
     var frontier: Vector[RefEntry] = seeds.zipWithIndex.flatMap { case (s, i) =>
-      Urls.canonicalizeAbsolute(s).map(u => RefEntry(u, Urls.hostOf(u), 0, Vector(i.toLong), 0))
+      Urls.canonicalizeAbsolute(s).map(u => RefEntry(u, Urls.hostOf(u), 0, -1L, i.toLong, 0))
     }.filter(e => seen.add(e.url)).toVector
     val seedHosts = frontier.map(_.host).toSet
 
@@ -103,7 +111,9 @@ object ReferenceCrawl {
           if (e.attempt + 1 < cfg.maxTries) retries += e.copy(attempt = e.attempt + 1)
           else results += RunnerResult(e.url, round, "__fetch__", None, Some("fetch-miss"))
         case Some(p) =>
-          order += CrawlOrderRow(e.url, round, e.depth, e.seq)
+          order += CrawlOrderRow(e.url, round, e.depth, e.pord, e.pos)
+          val ord = nextOrd
+          nextOrd += 1
           val htmlStr = Extract.htmlToString(p.html)
           Extract.redirectTarget(htmlStr) match {
             case Some(rawTarget) =>
@@ -113,7 +123,7 @@ object ReferenceCrawl {
                   val t2 = Policy.rewrite(cfg.rewrite, t)
                   val h = Urls.hostOf(t2)
                   if (Policy.allows(cfg.redirectPolicy, t2, h, seedHosts))
-                    candidates += RefEntry(t2, h, e.depth + 1, e.seq :+ 0L, 0)
+                    candidates += RefEntry(t2, h, e.depth + 1, ord, 0L, 0)
                 }
             case None =>
               for ((k, fn) <- runners.toSeq.sortBy(_._1))
@@ -127,7 +137,7 @@ object ReferenceCrawl {
                   val c2 = Policy.rewrite(cfg.rewrite, c)
                   val h = Urls.hostOf(c2)
                   if (Policy.allows(cfg.policy, c2, h, seedHosts))
-                    candidates += RefEntry(c2, h, e.depth + 1, e.seq :+ i.toLong, 0)
+                    candidates += RefEntry(c2, h, e.depth + 1, ord, i.toLong, 0)
                 }
               }
           }

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 
 /** Per-host politeness budgets over a host-hash-partitioned priority queue
   * (BASELINE.json:6,14; SURVEY.md §2 #10/#15). Priority is the structural
-  * BFS key (depth, seq) — secondary sort within host partitions.
+  * FIFO enqueue key (pord, pos) — two longs, constant width at any crawl
+  * depth — secondary sort within host partitions.
   *
   * Scale shape: ranking is only paid where it can matter. A first
   * aggregation finds hosts whose frontier rows exceed the budget; all other
@@ -22,7 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object Politeness {
 
-  /** Split into (admitted, deferred). Input needs url/urlHash/host/depth/seq. */
+  /** Split into (admitted, deferred). Input needs url/urlHash/host/pord/pos. */
   def partition(frontier: DataFrame, cfg: CrawlConfig): (DataFrame, DataFrame) = {
     val budget = cfg.hostBudget
     if (budget == Int.MaxValue) return (frontier, frontier.limit(0))
@@ -37,12 +38,12 @@ object Politeness {
     val under = frontier.join(broadcast(overflowHosts), Seq("host"), "left_anti")
     val over = frontier.join(broadcast(overflowHosts), Seq("host"), "left_semi")
 
-    val byHost = Window.partitionBy(col("host")).orderBy(col("depth"), col("seq"))
+    val byHost = Window.partitionBy(col("host")).orderBy(col("pord"), col("pos"))
     val preFiltered =
       if (cfg.saltFactor > 1) {
         val bySalt = Window
           .partitionBy(col("host"), pmod(col("urlHash"), lit(cfg.saltFactor.toLong)))
-          .orderBy(col("depth"), col("seq"))
+          .orderBy(col("pord"), col("pos"))
         over
           .withColumn("__srn", row_number().over(bySalt))
           .filter(col("__srn") <= budget)

@@ -37,8 +37,16 @@ class CrawlParitySpec extends AnyFunSuite {
       cfg: CrawlConfig,
       seeds: Seq[String],
       robots: Seq[RobotsRule] = Seq.empty,
+      runners: Map[String, PageRunner] = Map.empty): Unit =
+    runBothPages(name, Fixtures.generate(fixCfg), cfg, seeds, robots, runners)
+
+  private def runBothPages(
+      name: String,
+      pages: Vector[Page],
+      cfg: CrawlConfig,
+      seeds: Seq[String],
+      robots: Seq[RobotsRule] = Seq.empty,
       runners: Map[String, PageRunner] = Map.empty): Unit = {
-    val pages = Fixtures.generate(fixCfg)
     val ref = ReferenceCrawl.crawl(pages.map(p => p.url -> p).toMap, robots, seeds, cfg, runners)
     assert(ref.order.nonEmpty, s"$name: oracle crawled nothing — scenario is vacuous")
 
@@ -134,5 +142,26 @@ class CrawlParitySpec extends AnyFunSuite {
   test("seen-set compaction every round preserves exactness") {
     runBoth("compaction", fix, CrawlConfig(compactSeenEvery = 1, hostBudget = 4),
       Seq(Fixtures.urlOf(0, 0)))
+  }
+
+  test("depth-55 chain: frontier key width stays constant; order exact at depth") {
+    // a pure chain web: page i links only to page i+1 (+ a side link back to
+    // page 0 to exercise dedup at every depth). A path-vector key would be
+    // 55 levels deep here; (pord, pos) stays 16 bytes.
+    import java.nio.charset.StandardCharsets.UTF_8
+    val n = 56
+    val chain = (0 until n).map { i =>
+      val hrefs = (if (i + 1 < n) Seq(s"/p/${i + 1}") else Seq.empty) :+ "/p/0"
+      val html = s"<html><body><p>chain $i</p>" +
+        hrefs.map(h => s"""<a href="$h">l</a>""").mkString + "</body></html>"
+      Page(s"http://h0.test/p/$i", new java.sql.Timestamp(1704067200000L),
+        html.getBytes(UTF_8), graft.extract.Extract.extractText(html), "en")
+    }.toVector
+    runBothPages("chain", chain, CrawlConfig(maxRounds = 80), Seq("http://h0.test/p/0"))
+    // schema-level pin of the constant-width claim
+    val fe = spark.createDataset(Seq(FrontierEntry("u", 0L, "h", 55, 1L << 41, 3L, 0))).toDF()
+    val keyFields = fe.schema.fields.filter(f => f.name == "pord" || f.name == "pos")
+    assert(keyFields.forall(_.dataType == org.apache.spark.sql.types.LongType),
+      "order key must be two fixed-width longs")
   }
 }
