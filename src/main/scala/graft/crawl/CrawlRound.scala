@@ -142,8 +142,20 @@ object CrawlRound {
     val (allowed, robotsDropped) =
       if (robotsEmpty) (f, f.limit(0)) else Robots.partition(f, robots)
 
-    // 3. per-host politeness budget (host-hash-partitioned PQ, secondary sort)
-    val (admitted0, deferred0) = Politeness.partition(allowed, cfg)
+    // 3. per-host politeness budget (host-hash-partitioned PQ, secondary
+    // sort). roundWallMs > 0 enforces robots crawl-delay: a host fetching
+    // one page per crawlDelayMs can serve at most roundWallMs/crawlDelayMs
+    // pages in one round's wall — that becomes its budget cap.
+    val hostBudgets: Option[DataFrame] =
+      if (cfg.roundWallMs > 0 && !robotsEmpty)
+        Some(robots.toDF()
+          .filter(col("crawlDelayMs") > 0)
+          .select(col("host"),
+            least(lit(cfg.hostBudget.toLong),
+              greatest(lit(1L), (lit(cfg.roundWallMs) / col("crawlDelayMs")).cast("long")))
+              .cast("int").as("__budget")))
+      else None
+    val (admitted0, deferred0) = Politeness.partition(allowed, cfg, hostBudgets)
     val admitted = admitted0.select(fc: _*).persist(StorageLevel.MEMORY_AND_DISK)
     val deferred = maybePersist(deferred0.select(fc: _*))
 

@@ -118,6 +118,12 @@ final case class CrawlConfig(
     rewrite: Option[UrlRewrite] = None,
     maxRounds: Int = 64,
     maxDepth: Int = Int.MaxValue,
+    /** Nominal wall-clock per crawl round in ms; > 0 ENFORCES each host's
+      * robots crawlDelayMs as a per-round fetch budget:
+      * min(hostBudget, max(1, roundWallMs / crawlDelayMs)). 0 = politeness
+      * budget only (crawl-delay rules not enforced).
+      */
+    roundWallMs: Long = 0L,
     /** number of URL-seen bloom shards (and frontier hash shards) */
     shards: Int = 32,
     /** expected insertions per bloom shard (sizing) */

@@ -24,8 +24,11 @@ import graft.url.{Policy, Urls}
   *      and never changes through deferral or retry.
   *   2. robots filter: drop entries whose host has a matching disallow
   *      prefix not overridden by a longer/equal allow prefix.
-  *   3. politeness: per host, admit the first `hostBudget` rows in sorted
-  *      order; the rest are deferred unchanged to the next round.
+  *   3. politeness: per host, admit the first `budget` rows in sorted
+  *      order; the rest are deferred unchanged to the next round. budget =
+  *      hostBudget, capped (when cfg.roundWallMs > 0 and the host's robots
+  *      rule sets crawlDelayMs > 0) to max(1, roundWallMs / crawlDelayMs) —
+  *      the crawl-delay enforcement.
   *   4. fetch = lookup in the page store. Miss: attempt+1 < maxTries ->
   *      retry next round (key unchanged), else a `__fetch__` error result.
   *   5. Hit: the URL enters the crawl order (round, pord, pos) and receives
@@ -96,11 +99,19 @@ object ReferenceCrawl {
     while (frontier.nonEmpty && round < cfg.maxRounds) {
       val sorted = frontier.sorted(entryOrd)
       val allowed = sorted.filter(e => robotsAllows(rules, e.url, e.host))
+      // politeness budget; roundWallMs > 0 enforces robots crawl-delay
+      // (mirror of CrawlRound's hostBudgets derivation)
+      def budgetFor(host: String): Int = rules.get(host) match {
+        case Some(r) if cfg.roundWallMs > 0 && r.crawlDelayMs > 0 =>
+          math.min(cfg.hostBudget.toLong,
+            math.max(1L, cfg.roundWallMs / r.crawlDelayMs)).toInt
+        case _ => cfg.hostBudget
+      }
       val hostCount = mutable.HashMap[String, Int]().withDefaultValue(0)
       val (admitted, deferred) = allowed.partition { e =>
         val c = hostCount(e.host)
         hostCount(e.host) = c + 1
-        c < cfg.hostBudget
+        c < budgetFor(e.host)
       }
 
       val retries = Vector.newBuilder[RefEntry]

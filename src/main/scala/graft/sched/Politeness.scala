@@ -23,20 +23,30 @@ import org.apache.spark.sql.functions._
   */
 object Politeness {
 
-  /** Split into (admitted, deferred). Input needs url/urlHash/host/pord/pos. */
-  def partition(frontier: DataFrame, cfg: CrawlConfig): (DataFrame, DataFrame) = {
+  /** Split into (admitted, deferred). Input needs url/urlHash/host/pord/pos.
+    * `hostBudgets` (host, __budget) optionally overrides cfg.hostBudget per
+    * host — the crawlDelayMs enforcement path; always the broadcast side.
+    */
+  def partition(frontier: DataFrame, cfg: CrawlConfig,
+                hostBudgets: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val budget = cfg.hostBudget
-    if (budget == Int.MaxValue) return (frontier, frontier.limit(0))
+    if (budget == Int.MaxValue && hostBudgets.isEmpty) return (frontier, frontier.limit(0))
     val keep = frontier.columns.map(col)
 
-    // hosts that could overflow the budget (usually a small set)
-    val overflowHosts = frontier.groupBy(col("host"))
+    val fb = hostBudgets match {
+      case Some(hb) => frontier.join(broadcast(hb), Seq("host"), "left")
+        .withColumn("__budget", coalesce(col("__budget"), lit(budget)))
+      case None => frontier.withColumn("__budget", lit(budget))
+    }
+
+    // hosts that could overflow their budget (usually a small set)
+    val overflowHosts = fb.groupBy(col("host"), col("__budget"))
       .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > budget)
+      .filter(col("__n") > col("__budget"))
       .select("host")
 
-    val under = frontier.join(broadcast(overflowHosts), Seq("host"), "left_anti")
-    val over = frontier.join(broadcast(overflowHosts), Seq("host"), "left_semi")
+    val under = fb.join(broadcast(overflowHosts), Seq("host"), "left_anti")
+    val over = fb.join(broadcast(overflowHosts), Seq("host"), "left_semi")
 
     val byHost = Window.partitionBy(col("host")).orderBy(col("pord"), col("pos"))
     val preFiltered =
@@ -46,12 +56,12 @@ object Politeness {
           .orderBy(col("pord"), col("pos"))
         over
           .withColumn("__srn", row_number().over(bySalt))
-          .filter(col("__srn") <= budget)
+          .filter(col("__srn") <= col("__budget"))
           .drop("__srn")
       } else over
 
     val rankedOver = preFiltered.withColumn("__rn", row_number().over(byHost))
-    val admittedOver = rankedOver.filter(col("__rn") <= budget).select(keep: _*)
+    val admittedOver = rankedOver.filter(col("__rn") <= col("__budget")).select(keep: _*)
     // deferred = overflow-host rows not admitted (includes salted-out rows)
     val deferred = over.join(admittedOver.select("url"), Seq("url"), "left_anti")
     (under.select(keep: _*).unionByName(admittedOver), deferred.select(keep: _*))

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{col, count, lit, round => sqlRound, sum, window, xxhash64}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface. The crawl loop itself is deliberately
@@ -25,30 +25,47 @@ object Streaming {
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowDur).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+      .agg(count(lit(1)).as("n"), sqlRound(sum(col("value")), 4).as("sv"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sv"))
 
   final case class UrlEvent(host: String, url: String)
 
   /** Streaming URL-seen filter: emits each URL the first time it is ever
-    * seen, keyed by host so state partitions the way the batch engine's
-    * bloom shards do. State per host is the exact seen set — at web scale
-    * the state store holds it off-heap/on-disk (RocksDB provider on a real
-    * cluster); the batch loop's sharded-bloom + anti-join remains the
-    * 10^10-scale path, this is the streaming-ingest variant.
+    * seen. Designed to BOUND per-key state at web scale:
+    *
+    *   - state key = (host, urlHash mod `bands`): a mega-host's seen set
+    *     splits across `bands` independent state shards instead of one
+    *     unbounded Set per host — no single state entry holds a whole host.
+    *   - state value = Set of 8-byte xxhash64 urlHashes, never URL strings
+    *     (~10x narrower). Membership is hash-exact: a 64-bit collision
+    *     would suppress a genuinely-new URL; at streaming-ingest rates this
+    *     is ~n²/2^65 per shard. The batch loop's sharded-bloom + EXACT
+    *     anti-join remains the 10^10-scale path; this is the
+    *     streaming-ingest variant.
+    *
+    * REQUIRED at scale: the RocksDB state-store provider
+    * (spark.sql.streaming.stateStore.providerClass =
+    * ...RocksDBStateStoreProvider), which keeps shards off-heap/on-disk;
+    * the default HDFS-backed store materializes values on the executor heap.
     */
-  def streamingSeenFilter(spark: SparkSession, urls: Dataset[UrlEvent]): Dataset[String] = {
+  def streamingSeenFilter(spark: SparkSession, urls: Dataset[UrlEvent],
+                          bands: Int = 64): Dataset[String] = {
     import spark.implicits._
     urls
-      .groupByKey(_.host)
-      .flatMapGroupsWithState[Set[String], String](
+      .select(col("host"), col("url"), xxhash64(col("url")).as("urlHash"))
+      .as[(String, String, Long)]
+      .groupByKey { case (host, _, h) => (host, ((h % bands) + bands) % bands) }
+      .flatMapGroupsWithState[Set[Long], String](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: String, rows: Iterator[UrlEvent], state: GroupState[Set[String]]) =>
-          val seen = state.getOption.getOrElse(Set.empty[String])
-          val fresh = scala.collection.mutable.LinkedHashSet[String]()
-          rows.foreach { r => if (!seen.contains(r.url)) fresh += r.url }
-          state.update(seen ++ fresh)
-          fresh.iterator
+        (_: (String, Long), rows: Iterator[(String, String, Long)], state: GroupState[Set[Long]]) =>
+          val seen = state.getOption.getOrElse(Set.empty[Long])
+          val freshHashes = scala.collection.mutable.HashSet[Long]()
+          val freshUrls = Vector.newBuilder[String]
+          rows.foreach { case (_, url, h) =>
+            if (!seen.contains(h) && freshHashes.add(h)) freshUrls += url
+          }
+          if (freshHashes.nonEmpty) state.update(seen ++ freshHashes)
+          freshUrls.result().iterator
       }
   }
 }

@@ -144,6 +144,16 @@ class CrawlParitySpec extends AnyFunSuite {
       Seq(Fixtures.urlOf(0, 0)))
   }
 
+  test("crawlDelayMs enforced: per-host budget = roundWall / delay, capped by hostBudget") {
+    val robots = Seq(
+      RobotsRule("h0.test", Seq.empty, Seq.empty, crawlDelayMs = 500L), // -> 1000/500 = 2/round
+      RobotsRule("h1.test", Seq.empty, Seq.empty, crawlDelayMs = 5000L), // -> max(1, 0) = 1/round
+      RobotsRule("h2.test", Seq.empty, Seq.empty, crawlDelayMs = 0L)) // no delay -> hostBudget
+    runBoth("crawldelay", fix,
+      CrawlConfig(hostBudget = 6, roundWallMs = 1000L, policy = UrlPolicy.AllowAll, maxDepth = 3),
+      Seq(Fixtures.urlOf(0, 0), Fixtures.urlOf(1, 0)), robots = robots)
+  }
+
   test("depth-55 chain: frontier key width stays constant; order exact at depth") {
     // a pure chain web: page i links only to page i+1 (+ a side link back to
     // page 0 to exercise dedup at every depth). A path-vector key would be
