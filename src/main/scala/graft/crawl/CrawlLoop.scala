@@ -29,11 +29,15 @@ final case class CrawlOutcome(store: SnapshotStore, roundsRun: Int, lastRound: I
   def order(spark: SparkSession): DataFrame =
     emptyOr[graft.model.CrawlOrderRow](spark)(
       store.readUpTo("order", lastRound).orderBy(col("round"), col("pord"), col("pos")))
-  def seen(spark: SparkSession): DataFrame = store.readUpTo("seen_add", lastRound + 1)
+  /** the complete URL-seen set: the union of every round's fresh table */
+  def seen(spark: SparkSession): DataFrame =
+    store.readUpTo("fresh", lastRound + 1).select("url", "urlHash")
   def results(spark: SparkSession): DataFrame =
     emptyOr[graft.model.RunnerResult](spark)(store.readUpTo("results", lastRound))
-  def lineage(spark: SparkSession): DataFrame =
-    emptyOr[graft.model.Lineage](spark)(store.readUpTo("lineage", lastRound))
+  def lineage(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(store.readLineage(lastRound)).toDF()
+  }
 
   /** crawlkit-shaped nested results export: one JSON object per URL
     * (SURVEY.md §2 #13/#14): {"url":..., "runners": {key: {result|error}}}
@@ -91,16 +95,23 @@ class CrawlLoop(
     (df, entries.map(_.host).toSet)
   }
 
+  /** one table per round serves as BOTH frontier delta and seen delta:
+    * frontier(k) = carry(k) ∪ fresh(k); seen = ∪ fresh(0..k)
+    */
+  private def readFrontier(k: Int): DataFrame = {
+    val paths = Seq("carry", "fresh").filter(store.exists(_, k)).map(store.tablePath(_, k))
+    require(paths.nonEmpty, s"no frontier data for round $k")
+    spark.read.parquet(paths: _*).select(fc: _*)
+  }
+
   private def initRound0(seeds: Seq[String]): Unit = {
     val (f0, _) = seedFrontier(seeds)
-    store.write("frontier", 0, f0)
-    store.write("seen_add", 0,
-      f0.select(col("url"), col("urlHash"), lit(0).as("round")))
+    store.write("fresh", 0, f0)
     BloomShards.update(spark,
-      store.read("seen_add", 0)
+      store.read("fresh", 0)
         .select(BloomShards.shardCol(col("urlHash"), cfg.shards).as("shard"), col("urlHash")),
       None, store.bloomDir(0), cfg)
-    val n = store.read("frontier", 0).count()
+    val n = store.read("fresh", 0).count()
     store.commit(0, Map("frontier" -> n, "ord_next" -> 0L))
   }
 
@@ -129,10 +140,10 @@ class CrawlLoop(
           .select("url", "urlHash")
         if (deltas.isEmpty) Seq(base)
         else Seq(
-          spark.read.parquet(deltas.map(store.tablePath("seen_add", _)): _*)
+          spark.read.parquet(deltas.map(store.tablePath("fresh", _)): _*)
             .select("url", "urlHash"),
           base)
-      case None => Seq(store.readUpTo("seen_add", k).select("url", "urlHash"))
+      case None => Seq(store.readUpTo("fresh", k).select("url", "urlHash"))
     }
 
   /** Run (or resume) the crawl to completion. */
@@ -147,65 +158,80 @@ class CrawlLoop(
     }
     var k = startRound
     var frontierCount = store.committedMeta(k).flatMap(_.get("frontier"))
-      .getOrElse(store.read("frontier", k).count())
+      .getOrElse(readFrontier(k).count())
     // fetch-ordinal watermark: committed per round so a resumed run mints
     // ordinals from exactly where the killed run left off
     var ordBase = store.committedMeta(k).flatMap(_.get("ord_next")).getOrElse(0L)
     var rounds = 0
     while (frontierCount > 0 && k < cfg.maxRounds) {
       val t0 = System.nanoTime()
-      val frontier = store.read("frontier", k)
+      val frontier = readFrontier(k)
       val seen = readSeen(k)
       val out = CrawlRound.execute(spark, cfg, k, frontier, frontierCount, pages,
         robots, robotsEmpty, seen, Some(store.bloomDir(k)), seedHosts, runners, ordBase)
 
-      // ONE pass computes the whole round into the per-round caches...
-      timed(k, "materialize") { out.fresh.count() }
+      // The fresh write is the round's ONE materializing pass (its lineage
+      // computes every per-round cache) and doubles as both the next
+      // frontier delta and the seen delta — no separate warm-up count, no
+      // separate seen_add write job.
+      timed(k, "write.fresh") { store.write("fresh", k + 1, out.fresh) }
       // ...then the independent output jobs run CONCURRENTLY (they only
       // read caches + small recomputes); the round barrier is the await
       val outputs = Seq[(String, () => Unit)](
         "write.order" -> (() => store.write("order", k, out.order)),
         "write.results" -> (() => store.write("results", k, out.results)),
-        "write.frontier" -> (() => store.write("frontier", k + 1, out.nextFrontier)),
-        "write.seen" -> (() => store.write("seen_add", k + 1,
-          out.fresh.select(col("url"), col("urlHash"), lit(k + 1).as("round")))),
+        "write.carry" -> (() => store.write("carry", k + 1, out.carry)),
         "bloom.update" -> (() => BloomShards.update(spark,
           out.fresh.select(BloomShards.shardCol(col("urlHash"), cfg.shards).as("shard"), col("urlHash")),
           Some(store.bloomDir(k)), store.bloomDir(k + 1), cfg)))
+      // cache-hit counts decide the loop condition — the heavy per-shard
+      // stats aggregation stays OFF the round barrier entirely
+      val freshCountF = Future(out.fresh.count())
+      val carryCountF = Future(out.carry.count())
       val statsF = Future(out.stats.collect())
       val outputF = Future.traverse(outputs) { case (name, job) =>
         Future(timed(k, name)(job()))
       }
-      val statRows = timed(k, "stats.collect") { Await.result(statsF, Duration.Inf) }
       timed(k, "outputs.await") { Await.result(outputF, Duration.Inf) }
-      val byStage = statRows.groupBy(_.getString(1)).view
-        .mapValues(_.map(_.getLong(2)).sum).toMap.withDefaultValue(0L)
-      val wallMs = (System.nanoTime() - t0) / 1000000L
-      val lineage = statRows.groupBy(_.getInt(0)).map { case (shard, rows) =>
-        val m = rows.map(r => r.getString(1) -> r.getLong(2)).toMap.withDefaultValue(0L)
-        Lineage(k, shard, m("admitted"), m("fetched"), m("discovered"),
-          m("discovered") - m("fresh"), m("robots_dropped"), m("budget_deferred"),
-          m("errors"), m("retries"), wallMs)
-      }.toSeq
-      store.write("lineage", k, spark.createDataset(lineage).toDF())
+      frontierCount = Await.result(freshCountF, Duration.Inf) +
+        Await.result(carryCountF, Duration.Inf)
       if (cfg.compactSeenEvery > 0 && (k + 1) % cfg.compactSeenEvery == 0)
         store.writeBucketed("seen_all", k + 1,
           readSeen(k).reduce(_ unionByName _)
-            .unionByName(store.read("seen_add", k + 1).select("url", "urlHash")),
+            .unionByName(store.read("fresh", k + 1).select("url", "urlHash")),
           "urlHash", cfg.shards)
 
-      frontierCount = byStage("budget_deferred") + byStage("retries") + byStage("fresh")
+      val wallMs = (System.nanoTime() - t0) / 1000000L
       ordBase = CrawlRound.nextOrdBase(ordBase, math.max(1, cfg.shards))
       store.commit(k + 1, Map(
         "frontier" -> frontierCount,
-        "fetched" -> byStage("fetched"),
-        "discovered" -> byStage("discovered"),
         "ord_next" -> ordBase,
         "wall_ms" -> wallMs))
-      out.persisted.foreach(_.unpersist())
+      // lineage detail (per-shard stats) finishes in the BACKGROUND,
+      // overlapping the next round's driver-serial plan building; caches
+      // unpersist once it completes. At most one round outstanding.
+      val kk = k
+      val roundPersisted = out.persisted
+      pendingLineage.foreach(f => timed(kk, "stats.prev.await") { Await.result(f, Duration.Inf) })
+      pendingLineage = Some(statsF.map { statRows =>
+        val lineage = statRows.groupBy(_.getInt(0)).map { case (shard, rows) =>
+          val m = rows.map(r => r.getString(1) -> r.getLong(2)).toMap.withDefaultValue(0L)
+          Lineage(kk, shard, m("admitted"), m("fetched"), m("discovered"),
+            m("discovered") - m("fresh"), m("robots_dropped"), m("budget_deferred"),
+            m("errors"), m("retries"), wallMs)
+        }.toSeq
+        // lineage rows are on the driver — one small FS write, no Spark job
+        store.writeLineage(kk, lineage)
+        roundPersisted.foreach(_.unpersist())
+      })
       k += 1
       rounds += 1
     }
+    pendingLineage.foreach(Await.result(_, Duration.Inf))
+    pendingLineage = None
     CrawlOutcome(store, rounds, k - 1)
   }
+
+  /** previous round's in-flight lineage aggregation (see run loop) */
+  private var pendingLineage: Option[Future[Unit]] = None
 }

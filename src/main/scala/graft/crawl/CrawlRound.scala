@@ -6,7 +6,7 @@ import graft.model._
 import graft.robots.Robots
 import graft.sched.Politeness
 import graft.url.{Policy, UrlFunctions}
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -27,35 +27,27 @@ object CrawlRound {
 
   val FrontierCols: Seq[String] = Seq("url", "urlHash", "host", "depth", "pord", "pos", "attempt")
 
-  /** ordinal spacing: ord = base + (rangePartitionId << 40) + rowInPartition */
-  private val OrdShift = 40
+  /** ordinal spacing: ord = base + (rangePartitionId << 33) + rowInPartition
+    * — monotonically_increasing_id's layout
+    */
+  private val OrdShift = 33
 
   /** Mint each fetched row's fetch ordinal `ord`: an opaque long, strictly
     * monotone with the round's (pord, pos) enqueue order and greater than
-    * every ordinal of earlier rounds. Ordinals are SPARSE — range-partition
-    * index << 40 plus the row's index within its (sorted) partition — so no
-    * global rank/count job is needed: one range shuffle + one mapPartitions
-    * pass. Children inherit `ord` as their `pord`, which keeps frontier keys
-    * at a CONSTANT 16 bytes at any crawl depth (a path-vector key grows 8
-    * bytes per level and rides every shuffle/sort; SURVEY.md §7.4 risk).
-    * Values differ across parallelism levels; every ORDERING derived from
-    * them (the parity contract) is invariant.
+    * every ordinal of earlier rounds. Ordinals are SPARSE —
+    * monotonically_increasing_id (range-partition index << 33 + row index
+    * within the sorted partition) — so no global rank/count job is needed:
+    * one range shuffle, everything stays columnar inside whole-stage
+    * codegen (no RDD round-trip). Children inherit `ord` as their `pord`,
+    * which keeps frontier keys at a CONSTANT 16 bytes at any crawl depth
+    * (a path-vector key grows 8 bytes per level and rides every shuffle and
+    * sort; SURVEY.md §7.4 risk). Values differ across parallelism levels;
+    * every ORDERING derived from them (the parity contract) is invariant.
     */
-  private def assignOrdinals(spark: SparkSession, df: DataFrame,
-                             ordBase: Long, partitions: Int): DataFrame = {
-    val sorted = df
-      .repartitionByRange(partitions, col("pord"), col("pos"))
+  private def assignOrdinals(df: DataFrame, ordBase: Long, partitions: Int): DataFrame =
+    df.repartitionByRange(partitions, col("pord"), col("pos"))
       .sortWithinPartitions(col("pord"), col("pos"))
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+
-        org.apache.spark.sql.types.StructField("ord", org.apache.spark.sql.types.LongType, nullable = false))
-    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val pidBase = ordBase + (pid.toLong << OrdShift)
-      var i = 0L
-      it.map { r => val out = Row.fromSeq(r.toSeq :+ (pidBase + i)); i += 1; out }
-    }
-    spark.createDataFrame(rdd, schema)
-  }
+      .withColumn("ord", lit(ordBase) + monotonically_increasing_id())
 
   /** first ordinal of the NEXT round given this round's base */
   def nextOrdBase(ordBase: Long, partitions: Int): Long =
@@ -101,7 +93,11 @@ object CrawlRound {
   }
 
   final case class RoundOut(
-      nextFrontier: DataFrame,
+      /** deferred ∪ retries — next frontier = carry ∪ fresh, composed at
+        * read time so ONE written table (fresh) serves as both the frontier
+        * delta and the seen-set delta
+        */
+      carry: DataFrame,
       fresh: DataFrame,
       order: DataFrame,
       results: DataFrame,
@@ -220,7 +216,7 @@ object CrawlRound {
     // shuffle over the depth-eligible hits; children inherit them as pord),
     // then Catalyst-planned link extraction (codegen'd built-ins);
     // canonicalize+host is ONE UDF pass (the only UDF on the hot path)
-    val ranked = maybePersist(assignOrdinals(spark,
+    val ranked = maybePersist(assignOrdinals(
       hits.filter(lit(cfg.maxDepth) >= col("depth") + 1)
         .select(col("url"), col("depth"), col("pord"), col("pos"), col("redir"), col("links")),
       ordBase, math.max(1, cfg.shards)))
@@ -298,10 +294,8 @@ object CrawlRound {
     }
     val fresh = maybePersist(fresh0.select(fc: _*))
 
-    // 7. next frontier
-    val nextFrontier = deferred.select(fc: _*)
-      .unionByName(retries)
-      .unionByName(fresh)
+    // 7. carry-over rows (next frontier = carry ∪ fresh at read time)
+    val carry = deferred.select(fc: _*).unionByName(retries)
 
     // per-shard lineage counts, one aggregation job over persisted inputs;
     // "discovered" (pre-dedup) is reconstructed from the winnow aggregate's
@@ -322,7 +316,7 @@ object CrawlRound {
       .unionByName(tag(fresh, "fresh"))
       .groupBy(col("shard"), col("stage")).agg(sum(col("w")).as("count"))
 
-    RoundOut(nextFrontier, fresh, order, results, stats,
+    RoundOut(carry, fresh, order, results, stats,
       persisted = Seq(f, admitted, hits, ranked, winnowed, fresh, deferred, retries))
   }
 }

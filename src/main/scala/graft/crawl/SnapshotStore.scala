@@ -1,5 +1,6 @@
 package graft.crawl
 
+import graft.model.Lineage
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -114,6 +115,46 @@ class SnapshotStore(val root: String, spark: SparkSession) {
   def latestExisting(table: String, upTo: Int): Option[Int] =
     (upTo to 0 by -1).find { r =>
       val p = new Path(tablePath(table, r)); fs(p).exists(p)
+    }
+
+  def exists(table: String, round: Int): Boolean = {
+    val p = new Path(tablePath(table, round)); fs(p).exists(p)
+  }
+
+  // ---- lineage: a few dozen driver-held rows per round. Written as one
+  // CSV file via the FileSystem API — NO Spark job (a per-round write job
+  // was pure fixed overhead at 2-8 cores); read back (rare) the same way.
+  private def lineagePath(round: Int) = new Path(s"$root/lineage_csv/round_$round.csv")
+
+  def writeLineage(round: Int, rows: Seq[Lineage]): Unit = {
+    val p = lineagePath(round)
+    val f = fs(p)
+    f.mkdirs(p.getParent)
+    val tmp = new Path(p.toString + ".tmp")
+    val os = f.create(tmp, true)
+    try {
+      val body = rows.map(l => Seq(l.round, l.shard, l.admitted, l.fetched, l.discovered,
+        l.dedupDropped, l.robotsDropped, l.budgetDeferred, l.errors, l.retries, l.wallMs)
+        .mkString(",")).mkString("\n")
+      os.write(body.getBytes("UTF-8"))
+    } finally os.close()
+    f.delete(p, false)
+    f.rename(tmp, p)
+  }
+
+  def readLineage(upTo: Int): Seq[Lineage] =
+    (0 to upTo).flatMap { r =>
+      val p = lineagePath(r)
+      val f = fs(p)
+      if (!f.exists(p)) Seq.empty
+      else {
+        val is = f.open(p)
+        val body = try scala.io.Source.fromInputStream(is, "UTF-8").mkString finally is.close()
+        body.linesIterator.filter(_.nonEmpty).map { line =>
+          val c = line.split(",").map(_.toLong)
+          Lineage(c(0).toInt, c(1).toInt, c(2), c(3), c(4), c(5), c(6), c(7), c(8), c(9), c(10))
+        }.toSeq
+      }
     }
 
   def bloomDir(round: Int): String = s"$root/bloom/round=$round"

@@ -33,24 +33,63 @@ object BloomShards extends Serializable {
 
   private def fs(p: Path): FileSystem = p.getFileSystem(new Configuration())
 
+  // ---- shard map: per round dir, a tiny manifest mapping shard -> the dir
+  // that holds its LATEST filter file. Untouched shards are carried forward
+  // by REFERENCE, never by copying the MB-sized filter files (the old
+  // copy-forward cost cfg.shards driver-side file copies every round — pure
+  // fixed per-round overhead).
+  private def mapFile(dir: String) = new Path(s"$dir/_shards.json")
+
+  private def readShardMap(dir: String): Map[Int, String] = {
+    val p = mapFile(dir)
+    val f = fs(p)
+    if (!f.exists(p)) {
+      // bootstrap layout: whatever shard files exist directly in dir
+      val d = new Path(dir)
+      if (!f.exists(d)) Map.empty
+      else f.listStatus(d).map(_.getPath.getName)
+        .collect { case n if n.startsWith("shard_") && n.endsWith(".bf") =>
+          n.stripPrefix("shard_").stripSuffix(".bf").toInt -> dir }
+        .toMap
+    } else {
+      val is = f.open(p)
+      val body = try scala.io.Source.fromInputStream(is, "UTF-8").mkString finally is.close()
+      """"(\d+)":"([^"]*)"""".r.findAllMatchIn(body)
+        .map(m => m.group(1).toInt -> m.group(2)).toMap
+    }
+  }
+
+  private def writeShardMap(dir: String, m: Map[Int, String]): Unit = {
+    val p = mapFile(dir)
+    val f = fs(p)
+    f.mkdirs(p.getParent)
+    val tmp = new Path(p.toString + ".tmp")
+    val os = f.create(tmp, true)
+    try os.write(m.map { case (s, d) => s""""$s":"$d"""" }.mkString("{", ",", "}").getBytes("UTF-8"))
+    finally os.close()
+    f.delete(p, false)
+    f.rename(tmp, p)
+  }
+
   /** Fold `newHashes` (columns: shard int, urlHash long) into the previous
-    * round's shard files, writing the merged filters under `newDir`.
-    * One task per touched shard; untouched shards are hard-linked forward by
-    * copying references (copy of the small file) so `newDir` is complete.
+    * round's shard filters: merged filters for TOUCHED shards are written
+    * under `newDir` (one task per touched shard); untouched shards carry
+    * forward by reference in the shard map.
     */
   def update(spark: SparkSession, newHashes: DataFrame, prevDir: Option[String],
              newDir: String, cfg: CrawlConfig): Unit = {
     import spark.implicits._
     val expected = cfg.bloomExpectedPerShard
     val fpp = cfg.bloomFpp
-    val prev = prevDir
+    val prevMap: Map[Int, String] = prevDir.map(readShardMap).getOrElse(Map.empty)
     val nd = newDir
     val touched = newHashes
       .select(col("shard"), col("urlHash"))
       .as[(Int, Long)]
       .groupByKey(_._1)
       .mapGroups { (shard, rows) =>
-        val bf = prev.flatMap(d => load(d, shard)).getOrElse(BloomFilter.create(expected, fpp))
+        val bf = prevMap.get(shard).flatMap(d => load(d, shard))
+          .getOrElse(BloomFilter.create(expected, fpp))
         var n = 0L
         rows.foreach { r => bf.putLong(r._2); n += 1 }
         val out = shardFile(nd, shard)
@@ -66,22 +105,7 @@ object BloomShards extends Serializable {
       .collect()
       .map(_._1)
       .toSet
-    // carry untouched shards forward so a probe at round k only needs newDir
-    prevDir.foreach { pd =>
-      val pdp = new Path(pd)
-      val f = fs(pdp)
-      if (f.exists(pdp)) f.listStatus(pdp).foreach { st =>
-        val name = st.getPath.getName
-        if (name.startsWith("shard_") && name.endsWith(".bf")) {
-          val shard = name.stripPrefix("shard_").stripSuffix(".bf").toInt
-          if (!touched.contains(shard)) {
-            val dst = shardFile(newDir, shard)
-            f.mkdirs(dst.getParent)
-            org.apache.hadoop.fs.FileUtil.copy(f, st.getPath, f, dst, false, true, new Configuration())
-          }
-        }
-      }
-    }
+    writeShardMap(newDir, prevMap ++ touched.map(_ -> newDir))
   }
 
   // JVM-wide probe-side cache: (dir, shard) -> filter. Round dirs are unique
@@ -105,10 +129,14 @@ object BloomShards extends Serializable {
     }
   }
 
+  // probe-side shard-map cache (tiny: a Map[Int,String] per round dir)
+  private val mapCache = new java.util.concurrent.ConcurrentHashMap[String, Map[Int, String]]()
+
   private def cached(dir: String, shard: Int): Option[BloomFilter] = {
     val k = (dir, shard)
     Option(cache.get(k)).orElse {
-      val bf = load(dir, shard)
+      val m = mapCache.computeIfAbsent(dir, readShardMap(_))
+      val bf = m.get(shard).flatMap(load(_, shard))
       bf.foreach(b => cache.put(k, b))
       bf
     }

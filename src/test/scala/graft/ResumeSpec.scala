@@ -31,7 +31,7 @@ class ResumeSpec extends AnyFunSuite {
     val part = new CrawlLoop(spark, cfgFull.copy(maxRounds = 2), pages, robots, Map.empty, storeB).run(seeds)
     assert(part.roundsRun === 2)
     // leave mid-round debris: an uncommitted, unreadable next-round dir
-    val debris = new java.io.File(storeB.tablePath("frontier", 99))
+    val debris = new java.io.File(storeB.tablePath("fresh", 99))
     debris.mkdirs()
     java.nio.file.Files.writeString(debris.toPath.resolve("part-garbage.parquet"), "junk")
     // resume to completion
