@@ -129,10 +129,15 @@ object Dedup {
     * (`md5_number_lower`), so the whole simhash pipeline is SQL-checkable
     * end to end, unlike a JVM-private mixing chain.
     */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   val simhash64 = udf { (text: String) =>
     if (text == null) 0L
     else {
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = md5Local.get()
       val counts = new Array[Int](64)
       for (tok <- text.split("\\s+") if tok.nonEmpty) {
         val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
