@@ -27,6 +27,38 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomShards extends Serializable {
 
+  /** Per-shard filter abstraction: bloom (default) or cuckoo
+    * (cfg.seenFilterKind = "cuckoo" — deletable, better FPR/bit at load;
+    * see [[CuckooFilter]]). Both honor the ZERO-false-negative contract the
+    * pre-filter shortcut depends on. Shard files are self-describing (one
+    * tag byte), so probes need no config.
+    */
+  private[filterset] sealed trait SeenFilter {
+    def putLong(h: Long): Unit
+    def mightContainLong(h: Long): Boolean
+    def writeTo(os: java.io.OutputStream): Unit
+  }
+  private final class BloomSeen(val bf: BloomFilter) extends SeenFilter {
+    def putLong(h: Long): Unit = bf.putLong(h)
+    def mightContainLong(h: Long): Boolean = bf.mightContainLong(h)
+    def writeTo(os: java.io.OutputStream): Unit = { os.write(0); bf.writeTo(os) }
+  }
+  private final class CuckooSeen(val cf: CuckooFilter) extends SeenFilter {
+    def putLong(h: Long): Unit = cf.put(h)
+    def mightContainLong(h: Long): Boolean = cf.mightContain(h)
+    def writeTo(os: java.io.OutputStream): Unit = { os.write(1); cf.writeTo(os) }
+  }
+  private def createFilter(kind: String, expected: Long, fpp: Double): SeenFilter =
+    kind match {
+      case "cuckoo" => new CuckooSeen(CuckooFilter.create(expected))
+      case _ => new BloomSeen(BloomFilter.create(expected, fpp))
+    }
+  private def readFilter(is: java.io.InputStream): SeenFilter =
+    is.read() match {
+      case 1 => new CuckooSeen(CuckooFilter.readFrom(is))
+      case _ => new BloomSeen(BloomFilter.readFrom(is))
+    }
+
   def shardCol(urlHash: Column, s: Int): Column = pmod(urlHash, lit(s.toLong)).cast("int")
 
   private def shardFile(dir: String, shard: Int) = new Path(s"$dir/shard_$shard.bf")
@@ -81,6 +113,7 @@ object BloomShards extends Serializable {
     import spark.implicits._
     val expected = cfg.bloomExpectedPerShard
     val fpp = cfg.bloomFpp
+    val kind = cfg.seenFilterKind
     val prevMap: Map[Int, String] = prevDir.map(readShardMap).getOrElse(Map.empty)
     val nd = newDir
     val touched = newHashes
@@ -89,7 +122,7 @@ object BloomShards extends Serializable {
       .groupByKey(_._1)
       .mapGroups { (shard, rows) =>
         val bf = prevMap.get(shard).flatMap(d => load(d, shard))
-          .getOrElse(BloomFilter.create(expected, fpp))
+          .getOrElse(createFilter(kind, expected, fpp))
         var n = 0L
         rows.foreach { r => bf.putLong(r._2); n += 1 }
         val out = shardFile(nd, shard)
@@ -114,25 +147,25 @@ object BloomShards extends Serializable {
   // make every in-flight task re-read its shard file).
   private val MaxCached = 256
   private val cache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, Int), BloomFilter](64, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[(String, Int), BloomFilter]): Boolean =
+    new java.util.LinkedHashMap[(String, Int), SeenFilter](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[(String, Int), SeenFilter]): Boolean =
         size() > MaxCached
     })
 
-  private def load(dir: String, shard: Int): Option[BloomFilter] = {
+  private def load(dir: String, shard: Int): Option[SeenFilter] = {
     val p = shardFile(dir, shard)
     val f = fs(p)
     if (!f.exists(p)) None
     else {
       val is = f.open(p)
-      try Some(BloomFilter.readFrom(is)) finally is.close()
+      try Some(readFilter(is)) finally is.close()
     }
   }
 
   // probe-side shard-map cache (tiny: a Map[Int,String] per round dir)
   private val mapCache = new java.util.concurrent.ConcurrentHashMap[String, Map[Int, String]]()
 
-  private def cached(dir: String, shard: Int): Option[BloomFilter] = {
+  private def cached(dir: String, shard: Int): Option[SeenFilter] = {
     val k = (dir, shard)
     Option(cache.get(k)).orElse {
       val m = mapCache.computeIfAbsent(dir, readShardMap(_))

@@ -131,6 +131,11 @@ final case class CrawlConfig(
     bloomFpp: Double = 0.01,
     /** use the sharded bloom pre-filter in front of the exact anti-join */
     bloomPrefilter: Boolean = true,
+    /** per-shard seen pre-filter structure: "bloom" (default) or "cuckoo"
+      * (deletable, better FPR per bit at load — BASELINE.json:14 allows
+      * either); both are zero-false-negative
+      */
+    seenFilterKind: String = "bloom",
     /** broadcast the frontier side of the fetch join when smaller than this */
     broadcastFrontierMaxRows: Long = 2_000_000L,
     /** salt factor for hosts whose admitted rows exceed one task's comfort */
