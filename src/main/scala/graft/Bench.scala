@@ -1,9 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Harness-suite benchmark. Protocol designed to be FALSIFIABLE on a shared
+  * VM with ±40% single-run wall variance (BENCH/BASELINE.md):
+  *   - fixed query order (sorted by name) — no map-iteration nondeterminism
+  *   - one untimed warm-up pass (JIT, codegen cache, parquet footers, OS
+  *     page cache) before any timed pass
+  *   - `reps` timed full-suite passes (default 3); the reported per-query
+  *     figure is the MEDIAN across passes, with [min,max] spread emitted
+  *     alongside, so a claimed round-over-round delta is checkable against
+  *     the noise band instead of being a single-draw artifact
+  *   - op-internal caches released between queries (OpCaches) so query N's
+  *     time never includes block-manager pressure from queries 1..N-1
+  * Emits ONE JSON line; "value" = sum of per-query medians.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
+    val warmups = sys.env.getOrElse("GRAFT_BENCH_WARMUP", "1").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,24 +31,50 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val queries = SparkEntry.queries
     // a failed query must fail LOUDLY (an "err" entry + nonzero exit), never
     // bench as "fast"
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    names.foreach(samples(_) = Vector.empty)
+
+    def runPass(timed: Boolean): Unit =
+      names.foreach { name =>
+        if (!errors.contains(name)) {
+          val t0 = System.nanoTime()
+          try {
+            queries(name)(spark, sfDir).count()
+            if (timed) samples(name) :+= (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          }
+          graft.ops.OpCaches.releaseAll()
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    (1 to warmups).foreach(_ => runPass(timed = false))
+    (1 to reps).foreach(_ => runPass(timed = true))
+
+    def median(v: Vector[Double]): Double =
+      if (v.isEmpty) 0.0
+      else {
+        val s = v.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      }
+    val med = names.map(n => n -> median(samples(n)))
+    val qs = med.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val spread = names
+      .filter(samples(_).nonEmpty)
+      .map { n => s"\"$n\":[${samples(n).min},${samples(n).max}]" }
       .mkString("{", ",", "}")
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = med.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup":$warmups,""" +
+      s""""queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

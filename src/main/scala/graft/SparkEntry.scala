@@ -172,6 +172,12 @@ object SparkEntry {
     "qd_dedup_minhash_all" -> ((s, dir) =>
       Dedup.minhashNearDups(docsWithTwins(s, dir), threshold = 0.7)
         .orderBy("a", "b")),
+    // the corpus-scale composition: exact clusters first, LSH on
+    // representatives only, membership re-expanded (Dedup.dedupCorpus)
+    "qd_dedup_corpus" -> ((s, dir) =>
+      Dedup.dedupCorpus(docsWithTwins(s, dir), threshold = 0.7)
+        .select(col("doc_id"), col("dup_of"), col("kept").cast("int").as("kept"))
+        .orderBy("doc_id")),
     "qd_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDups(docsWithTwins(s, dir), maxHamming = 3)
         .filter(col("b") === col("a") + 10000L)
@@ -310,6 +316,34 @@ object SparkEntry {
                FROM sh a, sh b WHERE a.doc_id < b.doc_id)
          SELECT a, b, floor(jac * 10000 + 0.5) / 10000 AS jaccard
          FROM j WHERE jac >= 0.7 ORDER BY a, b""",
+    "qd_dedup_corpus" ->
+      // mirrors Dedup.dedupCorpus: md5 exact clusters -> min-id reps ->
+      // brute-force word-3-shingle Jaccard pairs among reps (valid for the
+      // same reason as qd_dedup_minhash_all: banded recall is 1.0 here) ->
+      // keep-smallest re-expansion
+      """WITH d2 AS (SELECT doc_id, text FROM documents
+                     UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents),
+         hx AS (SELECT doc_id, text, md5(text) AS h FROM d2),
+         reps AS (SELECT h, min(doc_id) AS rep FROM hx GROUP BY h),
+         mem AS (SELECT doc_id, rep FROM hx JOIN reps USING (h)),
+         rd AS (SELECT hx.doc_id, hx.text FROM hx JOIN reps ON hx.doc_id = reps.rep),
+         sh AS (SELECT doc_id,
+                       CASE WHEN len(ws) < 3 THEN [text]
+                            ELSE list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                       END AS s
+                FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM rd)),
+         pr AS (SELECT a.doc_id AS a, b.doc_id AS b
+                FROM sh a, sh b
+                WHERE a.doc_id < b.doc_id
+                  AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.7),
+         dr AS (SELECT b AS rep, min(a) AS near FROM pr GROUP BY b),
+         res AS (SELECT mem.doc_id,
+                        CASE WHEN mem.doc_id <> mem.rep THEN mem.rep
+                             WHEN dr.near IS NOT NULL THEN dr.near
+                             ELSE mem.doc_id END AS dup_of
+                 FROM mem LEFT JOIN dr ON dr.rep = mem.rep)
+         SELECT doc_id, dup_of, CASE WHEN dup_of = doc_id THEN 1 ELSE 0 END AS kept
+         FROM res ORDER BY doc_id""",
     "qd_langid" ->
       """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w FROM documents),
          sc AS (SELECT doc_id,
@@ -328,19 +362,25 @@ object SparkEntry {
                      ELSE 'de' END AS pred_lang
          FROM sc ORDER BY doc_id""",
     "qd_fingerprint" ->
-      """WITH g AS (SELECT doc_id, u.i,
-                      (ord(substr(text, u.i, 1))::BIGINT * 362470373 + ord(substr(text, u.i+1, 1))::BIGINT * 16974593 +
-                       ord(substr(text, u.i+2, 1))::BIGINT * 66049 + ord(substr(text, u.i+3, 1))::BIGINT * 257 +
-                       ord(substr(text, u.i+4, 1))::BIGINT) % 1000000007 AS h,
-                      length(text) - 4 AS nh
-                  FROM documents, unnest(range(1, length(text) - 3)) u(i)),
+      // lower() mirrors the UDF's toLowerCase; the LEFT JOIN keeps docs
+      // shorter than k+window-1 (empty fingerprint) as n_fp=0 rows, exactly
+      // like the UDF's empty-array output
+      """WITH lt AS (SELECT doc_id, lower(text) AS s FROM documents),
+         g AS (SELECT doc_id, u.i,
+                      (ord(substr(s, u.i, 1))::BIGINT * 362470373 + ord(substr(s, u.i+1, 1))::BIGINT * 16974593 +
+                       ord(substr(s, u.i+2, 1))::BIGINT * 66049 + ord(substr(s, u.i+3, 1))::BIGINT * 257 +
+                       ord(substr(s, u.i+4, 1))::BIGINT) % 1000000007 AS h,
+                      length(s) - 4 AS nh
+                  FROM lt, unnest(range(1, length(s) - 3)) u(i)),
          m AS (SELECT doc_id, i, nh,
                       min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS w
-               FROM g)
-         SELECT doc_id, len(fp) AS n_fp, array_to_string(fp, ',') AS fps
-         FROM (SELECT doc_id, list_sort(list_distinct(list(w))) AS fp
-               FROM m WHERE i + 3 <= nh GROUP BY doc_id)
-         ORDER BY doc_id""",
+               FROM g),
+         fp AS (SELECT doc_id, list_sort(list_distinct(list(w))) AS fp
+                FROM m WHERE i + 3 <= nh GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(len(fp.fp), 0) AS n_fp,
+                coalesce(array_to_string(fp.fp, ','), '') AS fps
+         FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     "q02_fetch_join_inner" ->
       """SELECT l_orderkey AS okey, count(*) AS n_items, round(sum(l_extendedprice), 2) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey

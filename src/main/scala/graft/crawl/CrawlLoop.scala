@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   * order, results, per-shard lineage — so a killed job resumes from the
   * latest committed round without re-fetching (BASELINE.json:6).
   */
-final case class CrawlOutcome(store: SnapshotStore, roundsRun: Int, lastRound: Int) {
+final case class CrawlOutcome(store: SnapshotStore, roundsRun: Int, lastRound: Int,
+                              seenShards: Int) {
   /** lastRound < 0 (a crawl that never ran a round) yields EMPTY frames with
     * the right schema instead of readUpTo's "no committed data" error.
     */
@@ -29,9 +30,13 @@ final case class CrawlOutcome(store: SnapshotStore, roundsRun: Int, lastRound: I
   def order(spark: SparkSession): DataFrame =
     emptyOr[graft.model.CrawlOrderRow](spark)(
       store.readUpTo("order", lastRound).orderBy(col("round"), col("pord"), col("pos")))
-  /** the complete URL-seen set: the union of every round's fresh table */
+  /** The complete URL-seen set. Reads through the compacted snapshot chain
+    * ([[SnapshotStore.readSeenParts]]): the latest bucketed base plus only
+    * the post-compaction deltas — O(compaction interval) file fan-in, not
+    * one parquet dir per round of a long crawl.
+    */
   def seen(spark: SparkSession): DataFrame =
-    store.readUpTo("fresh", lastRound + 1).select("url", "urlHash")
+    store.readSeenParts(lastRound + 1, seenShards).reduce(_ unionByName _)
   def results(spark: SparkSession): DataFrame =
     emptyOr[graft.model.RunnerResult](spark)(store.readUpTo("results", lastRound))
   def lineage(spark: SparkSession): DataFrame = {
@@ -76,8 +81,6 @@ class CrawlLoop(
   private val pages = PageStore.withUrlHash(pages0)
   // one action at loop construction, not one per round
   private lazy val robotsEmpty: Boolean = robots.isEmpty
-
-  private val SeenSchemaDdl = "url STRING, urlHash BIGINT"
 
   /** canonicalize + dedupe seeds driver-side (a seed list is tiny);
     * seed i gets key (pord = -1, pos = i) — before every fetched page
@@ -132,19 +135,7 @@ class CrawlLoop(
     * as one union. Never merged into one frame: a union would erase the
     * base's bucketing.
     */
-  private def readSeen(k: Int): Seq[DataFrame] =
-    store.latestExisting("seen_all", k) match {
-      case Some(c) =>
-        val deltas = (c + 1) to k
-        val base = store.readBucketed("seen_all", c, SeenSchemaDdl, "urlHash", cfg.shards)
-          .select("url", "urlHash")
-        if (deltas.isEmpty) Seq(base)
-        else Seq(
-          spark.read.parquet(deltas.map(store.tablePath("fresh", _)): _*)
-            .select("url", "urlHash"),
-          base)
-      case None => Seq(store.readUpTo("fresh", k).select("url", "urlHash"))
-    }
+  private def readSeen(k: Int): Seq[DataFrame] = store.readSeenParts(k, cfg.shards)
 
   /** Run (or resume) the crawl to completion. */
   def run(seeds: Seq[String]): CrawlOutcome = {
@@ -201,37 +192,31 @@ class CrawlLoop(
             .unionByName(store.read("fresh", k + 1).select("url", "urlHash")),
           "urlHash", cfg.shards)
 
+      // Lineage is DURABLE: the per-shard stats aggregation (launched above,
+      // overlapping the output writes — it reads only the round's caches)
+      // is awaited and its rows written BEFORE commit(k+1), so a committed
+      // round always has its lineage on disk; a crash loses at most the
+      // round that was going to be re-run anyway. The rows live on the
+      // driver — one small FS write, no Spark job.
       val wallMs = (System.nanoTime() - t0) / 1000000L
+      val statRows = timed(k, "stats.await") { Await.result(statsF, Duration.Inf) }
+      val lineage = statRows.groupBy(_.getInt(0)).map { case (shard, rows) =>
+        val m = rows.map(r => r.getString(1) -> r.getLong(2)).toMap.withDefaultValue(0L)
+        Lineage(k, shard, m("admitted"), m("fetched"), m("discovered"),
+          m("discovered") - m("fresh"), m("robots_dropped"), m("budget_deferred"),
+          m("errors"), m("retries"), wallMs)
+      }.toSeq
+      store.writeLineage(k, lineage)
+      out.persisted.foreach(_.unpersist())
+
       ordBase = CrawlRound.nextOrdBase(ordBase, math.max(1, cfg.shards))
       store.commit(k + 1, Map(
         "frontier" -> frontierCount,
         "ord_next" -> ordBase,
         "wall_ms" -> wallMs))
-      // lineage detail (per-shard stats) finishes in the BACKGROUND,
-      // overlapping the next round's driver-serial plan building; caches
-      // unpersist once it completes. At most one round outstanding.
-      val kk = k
-      val roundPersisted = out.persisted
-      pendingLineage.foreach(f => timed(kk, "stats.prev.await") { Await.result(f, Duration.Inf) })
-      pendingLineage = Some(statsF.map { statRows =>
-        val lineage = statRows.groupBy(_.getInt(0)).map { case (shard, rows) =>
-          val m = rows.map(r => r.getString(1) -> r.getLong(2)).toMap.withDefaultValue(0L)
-          Lineage(kk, shard, m("admitted"), m("fetched"), m("discovered"),
-            m("discovered") - m("fresh"), m("robots_dropped"), m("budget_deferred"),
-            m("errors"), m("retries"), wallMs)
-        }.toSeq
-        // lineage rows are on the driver — one small FS write, no Spark job
-        store.writeLineage(kk, lineage)
-        roundPersisted.foreach(_.unpersist())
-      })
       k += 1
       rounds += 1
     }
-    pendingLineage.foreach(Await.result(_, Duration.Inf))
-    pendingLineage = None
-    CrawlOutcome(store, rounds, k - 1)
+    CrawlOutcome(store, rounds, k - 1, cfg.shards)
   }
-
-  /** previous round's in-flight lineage aggregation (see run loop) */
-  private var pendingLineage: Option[Future[Unit]] = None
 }

@@ -69,7 +69,12 @@ object CrawlRound {
     // equi-keys (a plain === becomes a join key, re-shuffling the bucketed
     // store side on (urlHash, url)); as a residual it is evaluated per
     // hash-matched pair, which keeps the join exact AND the store scan
-    // exchange-free
+    // exchange-free.
+    // PINNED by PlanSpec "bucketed page store: ... NO Exchange on the store
+    // side" — if a Spark upgrade ever canonicalizes a>=b && a<=b back into
+    // an equi-key, that test fails loudly; do NOT relax it, rephrase the
+    // residual instead (the silent cost would be re-shuffling the 100-TB
+    // side every round)
     pages.join(fj,
       col("urlHash") === col("__fhash") &&
         col("url") >= col("__furl") && col("url") <= col("__furl"),
@@ -85,6 +90,9 @@ object CrawlRound {
     * hash collisions: a row drops only when hash AND url both match.
     */
   private[graft] def seenAntiJoin(cand: DataFrame, seen: DataFrame): DataFrame = {
+    // >=/<= residual idiom: PINNED by PlanSpec "seen anti-join: shuffles on
+    // urlHash only, exact under hash collisions" — see fetchJoin's pin note
+    // before touching this phrasing
     val s = seen.select(col("urlHash").as("__shash"), col("url").as("__surl"))
     cand.join(s,
       col("urlHash") === col("__shash") &&

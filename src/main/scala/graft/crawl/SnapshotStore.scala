@@ -157,6 +157,27 @@ class SnapshotStore(val root: String, spark: SparkSession) {
       }
     }
 
+  /** Seen set as of round k, as SNAPSHOT PARTS for chained anti-joins (and
+    * the public [[CrawlOutcome.seen]] read): the latest compacted base (a
+    * bucketed table — its anti-join needs no Exchange on this, the big,
+    * side) plus the uncompacted per-round deltas as one union — O(compaction
+    * interval) file fan-in instead of O(rounds). Never merged into one
+    * frame here: a union would erase the base's bucketing.
+    */
+  def readSeenParts(k: Int, shards: Int): Seq[DataFrame] =
+    latestExisting("seen_all", k) match {
+      case Some(c) =>
+        val deltas = (c + 1) to k
+        val base = readBucketed("seen_all", c, "url STRING, urlHash BIGINT", "urlHash", shards)
+          .select("url", "urlHash")
+        if (deltas.isEmpty) Seq(base)
+        else Seq(
+          spark.read.parquet(deltas.map(tablePath("fresh", _)): _*)
+            .select("url", "urlHash"),
+          base)
+      case None => Seq(readUpTo("fresh", k).select("url", "urlHash"))
+    }
+
   def bloomDir(round: Int): String = s"$root/bloom/round=$round"
 
   def clear(): Unit = {

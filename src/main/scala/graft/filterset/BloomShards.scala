@@ -53,11 +53,37 @@ object BloomShards extends Serializable {
       case "cuckoo" => new CuckooSeen(CuckooFilter.create(expected))
       case _ => new BloomSeen(BloomFilter.create(expected, fpp))
     }
-  private def readFilter(is: java.io.InputStream): SeenFilter =
-    is.read() match {
-      case 1 => new CuckooSeen(CuckooFilter.readFrom(is))
-      case _ => new BloomSeen(BloomFilter.readFrom(is))
+  /** Self-describing read with legacy detection. Tagged streams start with
+    * one tag byte (0 = bloom, 1 = cuckoo). Legacy shard files (pre-tag code
+    * wrote `bf.writeTo` directly — the bootstrap layout readShardMap still
+    * accepts) start with Spark BloomFilter's big-endian version int
+    * (1 in Spark <4, 2 in Spark 4's V2 format — verified against this
+    * classpath), so the first FOUR bytes disambiguate: (0,0,0,1)/(0,0,0,2)
+    * can only be an untagged bloom stream — a tagged bloom reads (0,0,0,0)
+    * there (tag 0 + the version int's three leading zero bytes) and a
+    * tagged cuckoo reads (1, nBuckets-high-bytes...), i.e. starts with 1.
+    */
+  private def readFilter(is0: java.io.InputStream): SeenFilter = {
+    val is = new java.io.PushbackInputStream(is0, 4)
+    val head = new Array[Byte](4)
+    var n = 0
+    while (n < 4) {
+      val r = is.read(head, n, 4 - n)
+      if (r < 0) throw new java.io.EOFException(s"truncated seen-filter stream ($n header bytes)")
+      n += r
     }
+    if (head(0) == 0 && head(1) == 0 && head(2) == 0 && (head(3) == 1 || head(3) == 2)) {
+      is.unread(head) // legacy untagged Spark bloom stream
+      new BloomSeen(BloomFilter.readFrom(is))
+    } else {
+      is.unread(head, 1, 3) // consume the tag byte, restore the rest
+      head(0) match {
+        case 1 => new CuckooSeen(CuckooFilter.readFrom(is))
+        case 0 => new BloomSeen(BloomFilter.readFrom(is))
+        case t => throw new java.io.IOException(s"unknown seen-filter tag byte $t")
+      }
+    }
+  }
 
   def shardCol(urlHash: Column, s: Int): Column = pmod(urlHash, lit(s.toLong)).cast("int")
 

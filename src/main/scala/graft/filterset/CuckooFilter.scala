@@ -19,7 +19,10 @@ import scala.collection.mutable.ArrayBuffer
   * no-false-negative contract instead of silently dropping — a cuckoo
   * table cannot be grown in place because fingerprints lose the original
   * key. A victim list larger than a handful means the filter was
-  * undersized; [[CuckooFilter.create]] sizes for 95% load.
+  * undersized; [[CuckooFilter.create]] sizes for 95% load, and `put` warns
+  * at [[CuckooFilter.WarnVictims]] parked victims then fails fast with a
+  * sizing hint past [[CuckooFilter.MaxVictims]] — never a silent
+  * performance cliff on a long crawl.
   *
   * Not thread-safe (mirrors spark BloomFilter usage: one writer task per
   * shard; probes use immutable deserialized copies).
@@ -87,7 +90,27 @@ final class CuckooFilter private (
       kicks += 1
     }
     victims += ((b, cur))
+    // A growing victim list means the filter is past its design load: every
+    // probe degrades to an O(victims) linear scan and the serialized shard
+    // grows without bound (bloom only degrades in FPR). Warn once early,
+    // then fail fast with a sizing hint rather than silently cliff — a
+    // cuckoo table cannot be grown in place (fingerprints lose the key), so
+    // the only real fix is resizing at creation.
+    if (victims.length == WarnVictims)
+      System.err.println(
+        s"WARN CuckooFilter: $WarnVictims victims parked at load factor " +
+          f"$loadFactor%.2f — undersized for this key volume; probes now scan the victim list")
+    if (victims.length > MaxVictims)
+      throw new IllegalStateException(
+        s"CuckooFilter overloaded: ${victims.length} victims at load factor " +
+          f"$loadFactor%.2f ($count keys / ${nBuckets.toLong * SlotsPerBucket} slots). " +
+          "Raise CrawlConfig.bloomExpectedPerShard (or shard count), or use " +
+          "seenFilterKind=bloom, which degrades only in FPR.")
   }
+
+  /** fraction of slots occupied — sizing diagnostics for the overload guard */
+  def loadFactor: Double =
+    (count - victims.length).toDouble / (nBuckets.toLong * SlotsPerBucket)
 
   def mightContain(key: Long): Boolean = {
     val f = fingerprint(key)
@@ -143,6 +166,10 @@ final class CuckooFilter private (
 object CuckooFilter {
   val SlotsPerBucket = 4
   private val MaxKicks = 500
+  /** victim count that triggers the one-time undersizing warning */
+  val WarnVictims = 16
+  /** victim count past which [[CuckooFilter.put]] fails fast (sizing error) */
+  val MaxVictims = 1024
 
   private def mix(x: Long): Long = {
     var z = x + 0x9E3779B97F4A7C15L

@@ -68,6 +68,40 @@ object Dedup {
     }.getOrElse(numHashes)
   }
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** default cap accounting: loud, driver-side */
+  private[graft] def logCap(what: String)(droppedBuckets: Long, droppedRows: Long): Unit =
+    log.warn(s"[$what] dropped $droppedBuckets over-capacity LSH buckets " +
+      s"($droppedRows member rows) — pairs inside them are NOT generated. " +
+      "Compose exact-dedup first (Dedup.dedupCorpus) so byte-identical " +
+      "clusters never reach the band join.")
+
+  /** Optional hot-bucket guard for the LSH band join: buckets with more than
+    * `maxBucketSize` members are DROPPED — with loud accounting, never
+    * silently (one small aggregate job over the persisted bucket table
+    * computes the drop stats before the plan is returned). A bucket of m
+    * members emits O(m²) candidate pairs; no partition-level skew handling
+    * changes that count, so past the point where exact-dedup composition
+    * (the real fix — [[dedupCorpus]]) has run, a cap is the only defense
+    * against near-identical boilerplate going quadratic. maxBucketSize <= 0
+    * disables the cap.
+    */
+  private[graft] def capBuckets(buckets: DataFrame, keyCols: Seq[String], maxBucketSize: Int,
+                                onCap: (Long, Long) => Unit): DataFrame =
+    if (maxBucketSize <= 0) buckets
+    else {
+      val keys = keyCols.map(col)
+      val hot = buckets.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucketSize)
+      val stats = hot.agg(count(lit(1)).as("b"), coalesce(sum(col("__n")), lit(0L)).as("r")).collect()(0)
+      if (stats.getLong(0) > 0) onCap(stats.getLong(0), stats.getLong(1))
+      // no broadcast hint: the hot set is normally tiny (AQE broadcasts it),
+      // but a mis-tuned banding could make it huge — don't force it onto
+      // the driver in that case
+      buckets.join(hot.select(keys: _*), keyCols, "left_anti")
+    }
+
   /** Join candidate id-pairs back to a per-id payload table ONCE per side —
     * the de-amplified LSH verification shape: the heavy payload (shingle set
     * / vector) crosses the wire exactly twice in total, not once per band ×
@@ -94,18 +128,26 @@ object Dedup {
       threshold: Double = 0.7,
       seed: Long = 42L,
       /** 0 = derive from threshold via [[chooseBands]] */
-      bandsOverride: Int = 0): DataFrame = {
+      bandsOverride: Int = 0,
+      /** optional hot-bucket guard, see [[capBuckets]]; <= 0 = off */
+      maxBucketSize: Int = 0,
+      onCap: (Long, Long) => Unit = logCap("minhashNearDups")): DataFrame = {
     val bands = if (bandsOverride > 0) bandsOverride else chooseBands(numHashes, threshold)
     val rowsPerBand = numHashes / bands
     // the shingle table feeds candidate generation AND both verification
     // joins — persist so the (expensive) shingling pass runs once, not 3x;
     // ~8-16 bytes/shingle columnar, spills to disk if it outgrows memory
-    val shingled = docs.select(col(idCol).as("id"), wordShingles(col(textCol), k).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val buckets = shingled
-      .select(col("id"),
-        posexplode(lshBandHashes(minhashSignature(col("sh"), numHashes, seed), bands, rowsPerBand))
-          .as(Seq("band", "bandHash")))
+    // registered with OpCaches (the returned frame is lazy, so this op
+    // cannot unpersist) — callers release via OpCaches.releaseAll()
+    val shingled = OpCaches.persist(
+      docs.select(col(idCol).as("id"), wordShingles(col(textCol), k).as("sh")),
+      StorageLevel.MEMORY_AND_DISK)
+    val buckets = capBuckets(
+      shingled
+        .select(col("id"),
+          posexplode(lshBandHashes(minhashSignature(col("sh"), numHashes, seed), bands, rowsPerBand))
+            .as(Seq("band", "bandHash"))),
+      Seq("band", "bandHash"), maxBucketSize, onCap)
     val l = buckets.select(col("band"), col("bandHash"), col("id").as("a"))
     val r = buckets.select(col("band"), col("bandHash"), col("id").as("b"))
     val pairs = l.join(r, Seq("band", "bandHash"))
@@ -116,6 +158,63 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sha"), col("shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), TextAnalysis.halfUp(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** THE corpus-scale near-dedup entry point: exact-dedup-FIRST composition.
+    *
+    * Web corpora are boilerplate-heavy — millions of byte-identical pages.
+    * Fed straight into LSH, an m-member identical cluster co-buckets in
+    * EVERY band and the candidate join emits O(m²) pairs (10¹² for a 10⁶
+    * cluster); AQE skew-splitting moves those pairs around but cannot
+    * reduce their count. This composition bounds pair volume at O(m):
+    *
+    *   1. EXACT cluster byte-identical texts (md5 hash-aggregate — map-side
+    *      combine, O(m) rows) and elect the min-id representative.
+    *   2. Near-dedup the REPRESENTATIVES only ([[minhashNearDups]]): every
+    *      band bucket now holds at most one member per distinct text, so an
+    *      identical cluster contributes exactly ONE row per band.
+    *   3. Re-expand membership: a doc is dropped iff it is a
+    *      non-representative exact duplicate, or its representative pairs
+    *      with a smaller-id representative (keep-smallest rule, single
+    *      pass — deliberately not transitive-closure clustering, matching
+    *      the usual training-data pipeline semantics).
+    *
+    * Returns one row per input doc: (doc_id, dup_of, kept) where `dup_of`
+    * is the exact representative for exact duplicates, the smallest
+    * near-duplicate representative for dropped representatives, and the
+    * doc itself for kept docs.
+    *
+    * `maxBucketSize` remains available as a second line of defense for
+    * NEAR-identical (not byte-identical) boilerplate — see [[capBuckets]].
+    */
+  def dedupCorpus(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 3,
+      numHashes: Int = 128,
+      threshold: Double = 0.7,
+      seed: Long = 42L,
+      maxBucketSize: Int = 0): DataFrame = {
+    val hashed = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+      md5(col(textCol)).as("__h"))
+    val reps = hashed.groupBy(col("__h")).agg(min(col("doc_id")).as("rep"))
+    val memberRep = hashed.select(col("doc_id"), col("__h"))
+      .join(reps, Seq("__h")).select(col("doc_id"), col("rep"))
+    val repDocs = hashed
+      .join(reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("__t").as(textCol))
+    val pairs = minhashNearDups(repDocs, textCol, "doc_id", k, numHashes, threshold,
+      seed, maxBucketSize = maxBucketSize, onCap = logCap("dedupCorpus"))
+    // keep-smallest: representative b is dropped in favor of its smallest
+    // near-duplicate a (< b by construction of the pair output)
+    val dropRep = pairs.groupBy(col("b").as("rep")).agg(min(col("a")).as("__near"))
+    memberRep.join(dropRep, Seq("rep"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("rep"), col("rep"))
+          .when(col("__near").isNotNull, col("__near"))
+          .otherwise(col("doc_id")).as("dup_of"))
+      .withColumn("kept", col("dup_of") === col("doc_id"))
   }
 
   // ---------- simhash ----------
@@ -192,14 +291,19 @@ object Dedup {
     */
   def ngramJaccardNearDups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                            n: Int = 3, threshold: Double = 0.6,
-                           numHashes: Int = 64, bandsOverride: Int = 0): DataFrame = {
+                           numHashes: Int = 64, bandsOverride: Int = 0,
+                           maxBucketSize: Int = 0,
+                           onCap: (Long, Long) => Unit = logCap("ngramJaccardNearDups")): DataFrame = {
     val bands = if (bandsOverride > 0) bandsOverride else chooseBands(numHashes, threshold)
-    val grams = docs.select(col(idCol).as("id"), charNgrams(col(textCol), n).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // one shingling pass (see minhashNearDups)
-    val buckets = grams
-      .select(col("id"),
-        posexplode(lshBandHashes(minhashSignature(col("sh"), numHashes, seed = 7L), bands, numHashes / bands))
-          .as(Seq("band", "bandHash")))
+    val grams = OpCaches.persist( // one shingling pass; released by callers via OpCaches
+      docs.select(col(idCol).as("id"), charNgrams(col(textCol), n).as("sh")),
+      StorageLevel.MEMORY_AND_DISK)
+    val buckets = capBuckets(
+      grams
+        .select(col("id"),
+          posexplode(lshBandHashes(minhashSignature(col("sh"), numHashes, seed = 7L), bands, numHashes / bands))
+            .as(Seq("band", "bandHash"))),
+      Seq("band", "bandHash"), maxBucketSize, onCap)
     val l = buckets.select(col("band"), col("bandHash"), col("id").as("a"))
     val r = buckets.select(col("band"), col("bandHash"), col("id").as("b"))
     val pairs = l.join(r, Seq("band", "bandHash"))

@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media (image/audio/video) travels as opaque
   * `binary` columns + typed metadata, exactly like Common-Crawl WARC
   * payloads. The Spark-side machinery — schema, batch shape, partition
-  * sizing, per-partition decoder amortization — is real and tested; the
-  * codec itself is STUBBED (no image/audio libraries exist in this
-  * container): `realDecode` is an unimplemented hook, `fakeDecode` is the
-  * deterministic stand-in wired into queries so results stay oracle-able.
+  * sizing, per-partition decoder amortization — is real and tested.
+  * Codecs: [[Multimodal.realDecode]] parses real BMP and WAV headers in
+  * pure JVM (golden-tested); compressed formats (JPEG/MP4/...) would need
+  * codec libraries absent from this container and fail loudly there.
+  * [[Multimodal.fakeDecode]] is the deterministic stand-in wired into the
+  * harness queries so results stay SQL-oracle-able.
   */
 object Multimodal {
 
@@ -21,10 +23,51 @@ object Multimodal {
       n_frames: Int,
       format: String)
 
-  /** THE STUB: a real deployment plugs a codec in here (e.g. via JNI/ffmpeg
-    * on the executor image). Deliberately unimplemented in this sandbox.
+  private def u16le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def i32le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+  private def tag(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Real header-parse decode for the formats a pure JVM can handle without
+    * codec libraries — BMP (BITMAPINFOHEADER) and RIFF/WAVE. Field mapping
+    * into the generic [[MediaMeta]] envelope:
+    *   - BMP:  width/height = pixel dimensions (abs: negative BMP height
+    *     means top-down row order), n_frames = 1, format = "img".
+    *   - WAV:  width = sample rate (Hz), height = bits per sample,
+    *     n_frames = sample-frame count (data bytes / block align),
+    *     format = "audio".
+    * Compressed formats (JPEG/PNG/MP4/...) need codec libraries that do not
+    * exist in this container and fail loudly here — a real deployment
+    * extends this match (e.g. JNI/ffmpeg on the executor image). The
+    * Spark-side plumbing ([[decodeBatch]]) is identical either way.
     */
-  def realDecode(payload: Array[Byte]): MediaMeta = ???
+  def realDecode(docId: Long, payload: Array[Byte]): MediaMeta =
+    if (payload.length >= 26 && payload(0) == 'B' && payload(1) == 'M') {
+      MediaMeta(docId, payload.length,
+        width = math.abs(i32le(payload, 18)),
+        height = math.abs(i32le(payload, 22)),
+        n_frames = 1, format = "img")
+    } else if (payload.length >= 12 && tag(payload, 0) == "RIFF" && tag(payload, 8) == "WAVE") {
+      var off = 12
+      var sampleRate = 0; var bits = 0; var blockAlign = 0; var dataLen = 0
+      while (off + 8 <= payload.length) {
+        val id = tag(payload, off)
+        val sz = i32le(payload, off + 4)
+        if (id == "fmt " && off + 24 <= payload.length) {
+          sampleRate = i32le(payload, off + 12)
+          blockAlign = u16le(payload, off + 20)
+          bits = u16le(payload, off + 22)
+        } else if (id == "data") dataLen = sz
+        off += 8 + sz + (sz & 1) // RIFF chunks are 2-byte aligned
+      }
+      MediaMeta(docId, payload.length, width = sampleRate, height = bits,
+        n_frames = if (blockAlign > 0) dataLen / blockAlign else 0, format = "audio")
+    } else
+      throw new UnsupportedOperationException(
+        "realDecode handles header-parseable formats only (BMP, WAV); " +
+          "compressed codecs require libraries not present in this sandbox")
 
   /** Deterministic fake decode — pure arithmetic on the payload length, so
     * a SQL oracle can reproduce it bit-for-bit.
@@ -47,13 +90,16 @@ object Multimodal {
     * (`spark.sql.files.maxPartitionBytes` governs the scan side).
     */
   def decodeBatch(spark: SparkSession, media: DataFrame,
-                  idCol: String = "doc_id", payloadCol: String = "payload"): Dataset[MediaMeta] = {
+                  idCol: String = "doc_id", payloadCol: String = "payload",
+                  /** the codec; [[fakeDecode]] keeps query outputs SQL-oracle-able,
+                    * [[realDecode]] parses real BMP/WAV headers */
+                  codec: (Long, Array[Byte]) => MediaMeta = fakeDecode): Dataset[MediaMeta] = {
     import spark.implicits._
     media.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // real codec: initialize the decoder ONCE here, then stream
-        rows.map { case (id, payload) => fakeDecode(id, payload) }
+        rows.map { case (id, payload) => codec(id, payload) }
       }
   }
 

@@ -73,14 +73,16 @@ object Similarity {
     */
   private def bucketKeys(emb: DataFrame, dims: Int, nPlanes: Int, tables: Int,
                          idCol: String, vecCol: String): DataFrame =
-    emb.select(
-      col(idCol).as("id"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), lshBucket(col(vecCol), dims, nPlanes, seed = 42L + t).as("bkt"))): _*)).as("tb"))
-      .select(col("id"), col("tb.t").as("t"), col("tb.bkt").as("bkt"))
-      // the signature pass costs tables x nPlanes x dims multiply-adds per
-      // row and feeds BOTH sides of the self-join — run it once
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the signature pass costs tables x nPlanes x dims multiply-adds per
+    // row and feeds BOTH sides of the self-join — run it once. Registered
+    // with OpCaches (lazy return); callers release via OpCaches.releaseAll()
+    OpCaches.persist(
+      emb.select(
+        col(idCol).as("id"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), lshBucket(col(vecCol), dims, nPlanes, seed = 42L + t).as("bkt"))): _*)).as("tb"))
+        .select(col("id"), col("tb.t").as("t"), col("tb.bkt").as("bkt")),
+      StorageLevel.MEMORY_AND_DISK)
 
   /** join candidate id-pairs back to the vector table once per side (the
     * de-amplified verification shape — vectors cross the wire twice total,
@@ -99,9 +101,18 @@ object Similarity {
     * filter runs on candidates only. The scale path vs the O(n²) cross join.
     */
   def nearDupPairs(emb: DataFrame, dims: Int, threshold: Double, tables: Int = 2,
-                   nPlanes: Int = 12, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                   nPlanes: Int = 12, idCol: String = "vec_id", vecCol: String = "embedding",
+                   /** hot-bucket guard (Dedup.capBuckets): an m-member
+                     * bucket emits O(m²) pairs; embedding corpora with
+                     * repeated vectors (boilerplate re-embeds) need either
+                     * exact-dedup-first on the vector bytes or this cap.
+                     * <= 0 = off. Drops are loudly accounted, never silent.
+                     */
+                   maxBucketSize: Int = 0): DataFrame = {
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val buckets = bucketKeys(emb, dims, nPlanes, tables, idCol, vecCol)
+    val buckets = Dedup.capBuckets(
+      bucketKeys(emb, dims, nPlanes, tables, idCol, vecCol),
+      Seq("t", "bkt"), maxBucketSize, Dedup.logCap("Similarity.nearDupPairs"))
     val pairs = buckets.select(col("t"), col("bkt"), col("id").as("a"))
       .join(buckets.select(col("t"), col("bkt"), col("id").as("b")), Seq("t", "bkt"))
       .filter(col("a") < col("b"))
@@ -116,6 +127,18 @@ object Similarity {
   /** Approximate NN: bucket by hyperplane signature (optionally multi-probe
     * with `tables` independent sign families), top-k within merged buckets.
     * Recall/latency trade via nPlanes (bucket granularity) and tables.
+    *
+    * Hot-bucket flood control: each candidate pair is assigned ONE
+    * representative shared bucket (min(struct(t,bkt)) — a hash aggregate,
+    * so the hot bucket's duplicate discoveries collapse map-side before the
+    * shuffle), and candidates are pruned to the top-k per (id,
+    * assignedBucket) BEFORE the global per-id window. A hot bucket of m
+    * members therefore feeds the global window at most k·tables rows per
+    * id, not m; its m² candidate rows sort distributed across m
+    * (id, bucket) window partitions. The prune is LOSSLESS for the global
+    * top-k: both windows share the total order (sim desc, nb), so a
+    * neighbor ranked past k within its assigned bucket has >= k better
+    * candidates in the global pool and could never make the global top-k.
     */
   def annTopK(emb: DataFrame, dims: Int, k: Int = 10, nPlanes: Int = 12, tables: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -124,11 +147,17 @@ object Similarity {
     val cands = buckets
       .join(buckets.select(col("t"), col("bkt"), col("id").as("nb")), Seq("t", "bkt"))
       .filter(col("id") =!= col("nb"))
-      .select(col("id"), col("nb"))
-      .dropDuplicates("id", "nb")
+      // dedup multi-table rediscoveries AND pick the representative bucket
+      // in one map-side-combining aggregate; vectors attach once per pair
+      .groupBy(col("id"), col("nb"))
+      .agg(min(struct(col("t"), col("bkt"))).as("__b"))
+    val perBucket = Window.partitionBy(col("id"), col("__b"))
+      .orderBy(col("sim").desc, col("nb"))
     val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("nb"))
     attachVectors(cands, vecs, "id", "nb")
       .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("__brk", row_number().over(perBucket))
+      .filter(col("__brk") <= k)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id"), col("rank"), col("nb"), TextAnalysis.halfUp(col("sim"), 6).as("sim"))

@@ -49,21 +49,28 @@ object Politeness {
     val over = fb.join(broadcast(overflowHosts), Seq("host"), "left_semi")
 
     val byHost = Window.partitionBy(col("host")).orderBy(col("pord"), col("pos"))
-    val preFiltered =
+    // Admitted vs deferred is decided by SPLITTING on the window ranks —
+    // never by re-joining the ranked output against the input (the old
+    // url-string anti-join shuffled the skewed mega-host subset on wide
+    // string keys a second time, exactly the pattern the fetch/seen joins
+    // were migrated off). Each split branch re-evaluates its window stage,
+    // which is the same exchange shape; no extra join, no string keys.
+    val (preFiltered, saltedOut) =
       if (cfg.saltFactor > 1) {
         val bySalt = Window
           .partitionBy(col("host"), pmod(col("urlHash"), lit(cfg.saltFactor.toLong)))
           .orderBy(col("pord"), col("pos"))
-        over
-          .withColumn("__srn", row_number().over(bySalt))
-          .filter(col("__srn") <= col("__budget"))
-          .drop("__srn")
-      } else over
+        val salted = over.withColumn("__srn", row_number().over(bySalt))
+        (salted.filter(col("__srn") <= col("__budget")).drop("__srn"),
+          Some(salted.filter(col("__srn") > col("__budget")).drop("__srn")))
+      } else (over, None)
 
     val rankedOver = preFiltered.withColumn("__rn", row_number().over(byHost))
     val admittedOver = rankedOver.filter(col("__rn") <= col("__budget")).select(keep: _*)
-    // deferred = overflow-host rows not admitted (includes salted-out rows)
-    val deferred = over.join(admittedOver.select("url"), Seq("url"), "left_anti")
-    (under.select(keep: _*).unionByName(admittedOver), deferred.select(keep: _*))
+    // deferred = rows ranked past the budget, plus (salted path) rows the
+    // per-salt pre-filter already bounded out before the exact ranking
+    val deferredRanked = rankedOver.filter(col("__rn") > col("__budget")).select(keep: _*)
+    val deferred = saltedOut.fold(deferredRanked)(s => deferredRanked.unionByName(s.select(keep: _*)))
+    (under.select(keep: _*).unionByName(admittedOver), deferred)
   }
 }

@@ -45,4 +45,37 @@ class BloomShardsSpec extends AnyFunSuite {
       BloomShards.shardCol(col("urlHash"), cfg.shards), col("urlHash"))).count()
     assert(falsePos === 0L, "fresh hash should (at this FPR) probe unseen")
   }
+
+  test("legacy untagged shard files (pre-tag bf.writeTo format) load via version detection") {
+    val cfg = CrawlConfig(shards = 2, bloomExpectedPerShard = 1024)
+    val legacyDir = tmpDir("bloom-legacy")
+    // hand-write shard 0 the way the pre-tag code did: BloomFilter.writeTo
+    // directly, stream starting with the version int 0x00000001 — no tag
+    // byte, no _shards.json (the bootstrap layout)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1024, 0.01)
+    val legacyHashes = (0L until 50L).map(_ * 2) // shard 0 under pmod(h, 2)
+    legacyHashes.foreach(bf.putLong)
+    val f = new java.io.File(s"$legacyDir/shard_0.bf")
+    f.getParentFile.mkdirs()
+    val os = new java.io.FileOutputStream(f)
+    try bf.writeTo(os) finally os.close()
+
+    // probe path: every legacy hash must answer maybe-seen
+    val missed = legacyHashes.toDF("urlHash")
+      .filter(!BloomShards.mightBeSeen(legacyDir)(
+        BloomShards.shardCol(col("urlHash"), cfg.shards), col("urlHash"))).count()
+    assert(missed === 0L, "legacy untagged shard must load, not misparse")
+
+    // resume path: folding new hashes into the legacy dir keeps old + new
+    val newHashes = (500L until 520L).map(_ * 2)
+    val next = tmpDir("bloom-legacy-next")
+    BloomShards.update(spark,
+      newHashes.toDF("urlHash")
+        .select(BloomShards.shardCol(col("urlHash"), cfg.shards).as("shard"), col("urlHash")),
+      Some(legacyDir), next, cfg)
+    val missedAfter = (legacyHashes ++ newHashes).toDF("urlHash")
+      .filter(!BloomShards.mightBeSeen(next)(
+        BloomShards.shardCol(col("urlHash"), cfg.shards), col("urlHash"))).count()
+    assert(missedAfter === 0L, "resume from a legacy store must preserve its hashes")
+  }
 }

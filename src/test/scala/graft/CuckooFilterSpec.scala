@@ -40,6 +40,15 @@ class CuckooFilterSpec extends AnyFunSuite {
     assert(cf.victimCount > 0, "test must actually exercise the victim path")
   }
 
+  test("pathological overload fails fast with a sizing hint, never a silent cliff") {
+    val cf = CuckooFilter.create(16) // 16 buckets = 64 slots
+    val ex = intercept[IllegalStateException] {
+      keys(2000, 1234L).foreach(cf.put) // ~30x capacity -> victims exceed MaxVictims
+    }
+    assert(ex.getMessage.contains("bloomExpectedPerShard"),
+      s"overload error must carry the sizing hint, got: ${ex.getMessage}")
+  }
+
   test("serde round-trip preserves contents and victims") {
     val cf = CuckooFilter.create(64)
     val ks = keys(500, 5L)

@@ -1,0 +1,99 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The hot-bucket scale guard (VERDICT r2 #1): byte-identical boilerplate
+  * clusters must never reach the LSH band join as a quadratic bucket. Pins
+  * (a) the exact-dedup-first composition keeps the band join's buckets at
+  * one member per distinct text — pair volume O(cluster), not O(cluster²) —
+  * and (b) the opt-in per-bucket cap drops over-capacity buckets with loud
+  * accounting, never silently.
+  */
+class DedupCorpusSpec extends AnyFunSuite {
+  import SparkTestBase.spark
+  import spark.implicits._
+
+  private val boiler = (1 to 30).map(i => s"boiler$i").mkString(" ")
+  private val others = Seq(
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+    "one two three four five six seven eight nine ten eleven twelve",
+    "red orange yellow green blue indigo violet crimson amber teal navy plum")
+
+  test("10k identical docs: composed path pair volume is O(cluster), not O(cluster^2)") {
+    val n = 10000
+    val docs = ((0 until n).map(i => (i.toLong, boiler)) ++
+      others.zipWithIndex.map { case (t, i) => ((n + i).toLong, t) })
+      .toDF("doc_id", "text")
+
+    // The naive path's band join WOULD see a 10k-member bucket in every
+    // band (~5*10^7 pairs per band): pin that the hazard is real...
+    val naiveBuckets = docs.select(col("doc_id"),
+      posexplode(Dedup.lshBandHashes(
+        Dedup.minhashSignature(Dedup.wordShingles(col("text")), 128, 42L), 32, 4))
+        .as(Seq("band", "bandHash")))
+    val naiveMax = naiveBuckets.groupBy("band", "bandHash").count()
+      .agg(max("count")).as[Long].head()
+    assert(naiveMax === n.toLong, "the identical cluster co-buckets fully on the naive path")
+
+    // ...and that the composition removes it: representatives = distinct
+    // texts, so the near phase's candidate pair count is bounded by
+    // C(nDistinct, 2), independent of cluster size.
+    val out = Dedup.dedupCorpus(docs).cache()
+    assert(out.count() === (n + others.size).toLong, "one row per input doc")
+    val kept = out.filter(col("kept")).select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(0L) ++ (n until n + others.size).map(_.toLong),
+      "exactly one doc per distinct text survives")
+    val clusterRows = out.filter(col("doc_id") < n && col("doc_id") > 0)
+    assert(clusterRows.filter(col("dup_of") === 0L && !col("kept")).count() === (n - 1).toLong,
+      "every non-representative member maps to the min-id representative")
+    // the near phase operates on representatives only: its pair volume over
+    // this input is the pairs among 4 distinct texts (here: zero survive
+    // the threshold, and at most C(4,2)=6 candidates can exist at all)
+    val repDocs = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val nearPairs = Dedup.minhashNearDups(repDocs).count()
+    assert(nearPairs <= 6L, "composed near phase sees only representative pairs")
+    out.unpersist()
+    graft.ops.OpCaches.releaseAll()
+  }
+
+  test("per-bucket cap drops over-capacity buckets with loud accounting") {
+    val n = 2000
+    val docs = ((0 until n).map(i => (i.toLong, boiler)) ++
+      others.zipWithIndex.map { case (t, i) => ((n + i).toLong, t) })
+      .toDF("doc_id", "text")
+    var cappedBuckets = 0L
+    var cappedRows = 0L
+    val pairs = Dedup.minhashNearDups(docs, maxBucketSize = 64,
+      onCap = (b, r) => { cappedBuckets += b; cappedRows += r })
+    val nPairs = pairs.count()
+    assert(cappedBuckets > 0L, "the accounting callback must fire for dropped buckets")
+    assert(cappedRows >= n.toLong, "dropped-row accounting covers the hot cluster")
+    assert(nPairs === 0L, "every bucket holding the identical cluster was dropped")
+    graft.ops.OpCaches.releaseAll()
+
+    // cap disabled on a small cluster: pairs ARE generated (the cap is the
+    // only thing that removed them above)
+    val small = ((0 until 20).map(i => (i.toLong, boiler))).toDF("doc_id", "text")
+    assert(Dedup.minhashNearDups(small).count() === (20L * 19 / 2),
+      "uncapped identical cluster yields all C(m,2) pairs")
+    graft.ops.OpCaches.releaseAll()
+  }
+
+  test("dedupCorpus semantics: exact dup, near dup, distinct") {
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val aNear = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
+    val c = "completely different text with no overlap at all whatsoever here"
+    val docs = Seq((0L, a), (1L, a), (2L, aNear), (3L, c)).toDF("doc_id", "text")
+    val out = Dedup.dedupCorpus(docs).orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out === Array(
+      (0L, 0L, true),   // representative, kept
+      (1L, 0L, false),  // exact duplicate of 0
+      (2L, 0L, false),  // near duplicate: rep 2 pairs with smaller rep 0
+      (3L, 3L, true)))  // distinct
+    graft.ops.OpCaches.releaseAll()
+  }
+}

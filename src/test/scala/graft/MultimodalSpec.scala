@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests for the pure-JVM header codecs behind the multimodal
+  * binary-column plumbing: hand-built BMP and WAV byte arrays with known
+  * header fields, decoded both directly and through the distributed
+  * decodeBatch path.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  import SparkTestBase.spark
+
+  private def le16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** minimal BMP: BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40) */
+  private def bmp(width: Int, height: Int): Array[Byte] =
+    ascii("BM") ++ le32(54) ++ le32(0) ++ le32(54) ++ // file header
+      le32(40) ++ le32(width) ++ le32(height) ++ le16(1) ++ le16(24) ++
+      Array.fill[Byte](40 - 16)(0) // rest of the DIB header
+
+  /** minimal RIFF/WAVE: fmt chunk + data chunk of `dataBytes` */
+  private def wav(sampleRate: Int, bits: Int, channels: Int, dataBytes: Int): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val fmt = ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(sampleRate) ++ le32(sampleRate * blockAlign) ++ le16(blockAlign) ++ le16(bits)
+    val data = ascii("data") ++ le32(dataBytes) ++ Array.fill[Byte](dataBytes)(7)
+    ascii("RIFF") ++ le32(4 + fmt.length + data.length) ++ ascii("WAVE") ++ fmt ++ data
+  }
+
+  test("BMP header parse: dimensions, abs of top-down negative height") {
+    val m = Multimodal.realDecode(1L, bmp(640, 480))
+    assert((m.width, m.height, m.n_frames, m.format) === ((640, 480, 1, "img")))
+    val topDown = Multimodal.realDecode(2L, bmp(64, -32))
+    assert((topDown.width, topDown.height) === ((64, 32)))
+  }
+
+  test("WAV header parse: sample rate, bits, frame count from data/blockAlign") {
+    val m = Multimodal.realDecode(3L, wav(sampleRate = 44100, bits = 16, channels = 2, dataBytes = 400))
+    assert(m.format === "audio")
+    assert(m.width === 44100)
+    assert(m.height === 16)
+    assert(m.n_frames === 100) // 400 bytes / (2ch * 2 bytes)
+  }
+
+  test("unsupported magic fails loudly (the honest codec boundary)") {
+    intercept[UnsupportedOperationException] {
+      Multimodal.realDecode(4L, Array[Byte](0x50, 0x4B, 3, 4) ++ Array.fill[Byte](60)(0))
+    }
+  }
+
+  test("decodeBatch drives the real codec through mapPartitions") {
+    import spark.implicits._
+    val media = Seq(
+      (10L, bmp(128, 64)),
+      (11L, wav(8000, 8, 1, 160))).toDF("doc_id", "payload")
+    val out = Multimodal.decodeBatch(spark, media, codec = Multimodal.realDecode)
+      .collect().sortBy(_.doc_id)
+    assert(out.map(m => (m.doc_id, m.width, m.height, m.n_frames, m.format)).toSeq === Seq(
+      (10L, 128, 64, 1, "img"),
+      (11L, 8000, 8, 160, "audio")))
+  }
+}

@@ -119,6 +119,27 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("politeness split: no url-string hashpartitioning, no deferred-side join") {
+    import spark.implicits._
+    val frontier = (0 until 200).map(i =>
+      (s"http://h${i % 3}.test/p/$i", i.toLong * 7919, s"h${i % 3}.test", i.toLong, 0L))
+      .toDF("url", "urlHash", "host", "pord", "pos")
+    val cfg = graft.model.CrawlConfig(hostBudget = 10, saltFactor = 4)
+    val (admitted, deferred) = graft.sched.Politeness.partition(frontier, cfg)
+    assert(admitted.count() === 30L)
+    assert(deferred.count() === 170L)
+    Seq("admitted" -> admitted, "deferred" -> deferred).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning(url#") && !plan.contains("hashpartitioning(url,"),
+        s"$name plan must never shuffle on the url string:\n$plan")
+    }
+    // deferral is a rank-split, not an anti-join against the admitted set
+    // (the overflow-host semi/anti joins on `host` remain — broadcast, tiny)
+    val deferredPlan = deferred.queryExecution.executedPlan.toString
+    assert(!deferredPlan.contains("LeftAnti"),
+      s"deferred must come from splitting the ranked frame, not an anti-join:\n$deferredPlan")
+  }
+
   test("minhash LSH near-dups plan as bucket equi-joins, not cross joins") {
     val df = SparkEntry.queries("qd_dedup_minhash")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString

@@ -63,6 +63,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("URL-seen filter under the RocksDB state-store provider it requires at scale") {
+    // Streaming.scala documents the RocksDB provider as REQUIRED at scale
+    // (keeps seen-set shards off-heap/on-disk); this pins that the keyed
+    // state actually serializes through it with identical output.
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[UrlEvent]
+    val q = Streaming.streamingSeenFilter(spark, in.toDS())
+      .writeStream.format("memory").queryName("seen_stream_rocks")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(UrlEvent("h0", "http://h0.test/a"), UrlEvent("h0", "http://h0.test/b"),
+        UrlEvent("h1", "http://h1.test/x"))
+      q.processAllAvailable()
+      in.addData(UrlEvent("h0", "http://h0.test/a"), UrlEvent("h0", "http://h0.test/c"),
+        UrlEvent("h1", "http://h1.test/x"), UrlEvent("h1", "http://h1.test/y"))
+      q.processAllAvailable()
+      val out = spark.table("seen_stream_rocks").as[String].collect().toList
+      assert(out.sorted === List("http://h0.test/a", "http://h0.test/b",
+        "http://h0.test/c", "http://h1.test/x", "http://h1.test/y"),
+        "RocksDB-backed state must produce the identical first-occurrence stream")
+      val opProgress = q.recentProgress.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      assert(opProgress.exists(_.numRowsUpdated > 0), "state rows must have flowed through the store")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("SQL-registered custom functions work from spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     val dot = spark.sql("SELECT graft_dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
