@@ -194,6 +194,14 @@ object SparkEntry {
       val twins = e.unionByName(e.withColumn("vec_id", col("vec_id") + 10000L))
       Similarity.nearDupPairs(twins, dims = 64, threshold = 0.9999).orderBy("a", "b")
     }),
+    // vector-side exact-first composition (Similarity.nearDupCorpus)
+    "qd_embed_corpus" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val twins = e.unionByName(e.withColumn("vec_id", col("vec_id") + 10000L))
+      Similarity.nearDupCorpus(twins, dims = 64, threshold = 0.9999)
+        .select(col("vec_id"), col("dup_of"), col("kept").cast("int").as("kept"))
+        .orderBy("vec_id")
+    }),
     "qd_knn_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), k = 5)
         .orderBy("id", "rank")),
@@ -316,6 +324,27 @@ object SparkEntry {
                FROM sh a, sh b WHERE a.doc_id < b.doc_id)
          SELECT a, b, floor(jac * 10000 + 0.5) / 10000 AS jaccard
          FROM j WHERE jac >= 0.7 ORDER BY a, b""",
+    "qd_embed_corpus" ->
+      // mirrors Similarity.nearDupCorpus: exact vector clusters (GROUP BY
+      // the embedding list — bit-exact through parquet in both engines) ->
+      // min-id reps -> brute-force cosine pairs among reps -> keep-smallest
+      """WITH e2 AS (SELECT vec_id, embedding FROM embeddings
+                     UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings),
+         reps AS (SELECT embedding AS v, min(vec_id) AS rep FROM e2 GROUP BY embedding),
+         mem AS (SELECT e2.vec_id, r.rep FROM e2 JOIN reps r ON e2.embedding = r.v),
+         rd AS (SELECT rep AS vec_id, v::DOUBLE[] AS v FROM reps),
+         pr AS (SELECT a.vec_id AS a, b.vec_id AS b
+                FROM rd a, rd b
+                WHERE a.vec_id < b.vec_id
+                  AND list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9999),
+         dr AS (SELECT b AS rep, min(a) AS near FROM pr GROUP BY b),
+         res AS (SELECT mem.vec_id,
+                        CASE WHEN mem.vec_id <> mem.rep THEN mem.rep
+                             WHEN dr.near IS NOT NULL THEN dr.near
+                             ELSE mem.vec_id END AS dup_of
+                 FROM mem LEFT JOIN dr ON dr.rep = mem.rep)
+         SELECT vec_id, dup_of, CASE WHEN dup_of = vec_id THEN 1 ELSE 0 END AS kept
+         FROM res ORDER BY vec_id""",
     "qd_dedup_corpus" ->
       // mirrors Dedup.dedupCorpus: md5 exact clusters -> min-id reps ->
       // brute-force word-3-shingle Jaccard pairs among reps (valid for the

@@ -124,6 +124,38 @@ object Similarity {
       .select(col("a"), col("b"), TextAnalysis.halfUp(col("sim"), 4).as("sim"))
   }
 
+  /** Exact-first composition for embedding near-dedup — the vector-side
+    * mirror of [[Dedup.dedupCorpus]]. A web corpus re-embeds boilerplate
+    * millions of times; identical vectors co-bucket in EVERY hash table, so
+    * feeding them to LSH directly makes one bucket emit O(m²) pairs. Here:
+    * (1) cluster bit-identical vectors (hash-aggregate on the array value —
+    * map-side combine, O(m) rows), electing the min-id representative;
+    * (2) run [[nearDupPairs]] on representatives only; (3) re-expand with
+    * the keep-smallest rule. Returns (vec_id, dup_of, kept) — `dup_of` is
+    * the exact representative for exact duplicates, the smallest
+    * near-duplicate representative for dropped representatives, the row
+    * itself when kept.
+    */
+  def nearDupCorpus(emb: DataFrame, dims: Int, threshold: Double, tables: Int = 2,
+                    nPlanes: Int = 12, idCol: String = "vec_id", vecCol: String = "embedding",
+                    maxBucketSize: Int = 0): DataFrame = {
+    val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+    val reps = base.groupBy(col("__v")).agg(min(col("vec_id")).as("rep"))
+    val memberRep = base.join(reps, Seq("__v")).select(col("vec_id"), col("rep"))
+    val repVecs = base
+      .join(reps.select(col("rep").as("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("__v").as(vecCol))
+    val pairs = nearDupPairs(repVecs, dims, threshold, tables, nPlanes,
+      idCol = "vec_id", vecCol = vecCol, maxBucketSize = maxBucketSize)
+    val dropRep = pairs.groupBy(col("b").as("rep")).agg(min(col("a")).as("__near"))
+    memberRep.join(dropRep, Seq("rep"), "left")
+      .select(col("vec_id"),
+        when(col("vec_id") =!= col("rep"), col("rep"))
+          .when(col("__near").isNotNull, col("__near"))
+          .otherwise(col("vec_id")).as("dup_of"))
+      .withColumn("kept", col("dup_of") === col("vec_id"))
+  }
+
   /** Approximate NN: bucket by hyperplane signature (optionally multi-probe
     * with `tables` independent sign families), top-k within merged buckets.
     * Recall/latency trade via nPlanes (bucket granularity) and tables.

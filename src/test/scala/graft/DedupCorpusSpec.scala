@@ -82,6 +82,30 @@ class DedupCorpusSpec extends AnyFunSuite {
     graft.ops.OpCaches.releaseAll()
   }
 
+  test("nearDupCorpus (vectors): identical-vector cluster collapses to one rep before LSH") {
+    import graft.ops.Similarity
+    val dims = 8
+    val boilerVec = Array.tabulate(dims)(i => (i + 1).toFloat)
+    val others = Seq(
+      Array.tabulate(dims)(i => if (i % 2 == 0) 1f else -1f),
+      Array.tabulate(dims)(i => (dims - i).toFloat))
+    val n = 5000
+    val emb = ((0 until n).map(i => (i.toLong, boilerVec)) ++
+      others.zipWithIndex.map { case (v, i) => ((n + i).toLong, v) })
+      .toDF("vec_id", "embedding")
+    val out = Similarity.nearDupCorpus(emb, dims, threshold = 0.9999).cache()
+    assert(out.count() === (n + others.size).toLong)
+    val kept = out.filter(col("kept")).select("vec_id").as[Long].collect().sorted
+    assert(kept === Array(0L) ++ (n until n + others.size).map(_.toLong),
+      "one row per distinct vector survives")
+    assert(out.filter(col("dup_of") === 0L && !col("kept")).count() === (n - 1).toLong)
+    // the LSH phase saw only the 3 distinct representatives
+    val reps = emb.groupBy("embedding").count()
+    assert(reps.count() === 3L)
+    out.unpersist()
+    graft.ops.OpCaches.releaseAll()
+  }
+
   test("dedupCorpus semantics: exact dup, near dup, distinct") {
     val a = (1 to 30).map(i => s"w$i").mkString(" ")
     val aNear = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
