@@ -49,4 +49,32 @@ class ResumeSpec extends AnyFunSuite {
     assert(again.order(spark).select("url").as[String].collect().toVector === fullOrder)
     storeA.clear(); storeB.clear()
   }
+
+  test("aggressive seen compaction: resume and the public seen() read the compacted chain") {
+    val fix = FixtureConfig(nHosts = 4, maxPagesPerHost = 16)
+    val pages = spark.createDataset(Fixtures.generate(fix)).toDF()
+    val robots = spark.emptyDataset[RobotsRule]
+    val seeds = Seq(Fixtures.urlOf(0, 0))
+    // compact EVERY round: the seen anti-joins and CrawlOutcome.seen must
+    // route through the bucketed seen_all base rather than per-round deltas
+    val cfg = CrawlConfig(hostBudget = 3, compactSeenEvery = 1)
+
+    val plain = new CrawlLoop(spark, CrawlConfig(hostBudget = 3), pages, robots, Map.empty,
+      new SnapshotStore(tmpDir("nocompact"), spark)).run(seeds)
+    val expOrder = plain.order(spark).select("url").as[String].collect().toVector
+    val expSeen = plain.seen(spark).select("url").as[String].collect().toSet
+
+    val store = new SnapshotStore(tmpDir("compact-every"), spark)
+    val part = new CrawlLoop(spark, cfg.copy(maxRounds = 2), pages, robots, Map.empty, store).run(seeds)
+    assert(part.roundsRun === 2)
+    val resumed = new CrawlLoop(spark, cfg, pages, robots, Map.empty, store).run(seeds)
+    assert(resumed.order(spark).select("url").as[String].collect().toVector === expOrder,
+      "compaction must not change crawl order across resume")
+    assert(resumed.seen(spark).select("url").as[String].collect().toSet === expSeen,
+      "public seen() through the compacted chain must equal the plain union")
+    // the compacted base actually exists and is what seen() fans in from
+    assert(store.latestExisting("seen_all", resumed.lastRound + 1).nonEmpty,
+      "aggressive compaction must have produced a seen_all snapshot")
+    store.clear()
+  }
 }
