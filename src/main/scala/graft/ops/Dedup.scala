@@ -198,7 +198,12 @@ object Dedup {
       maxBucketSize: Int = 0): DataFrame = {
     val hashed = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
       md5(col(textCol)).as("__h"))
-    val reps = hashed.groupBy(col("__h")).agg(min(col("doc_id")).as("rep"))
+    // consumed by BOTH the membership join and the representative semi-join
+    // — persist the (40-byte/row) cluster table so the full-corpus md5
+    // aggregation runs once; released by callers via OpCaches.releaseAll()
+    val reps = OpCaches.persist(
+      hashed.groupBy(col("__h")).agg(min(col("doc_id")).as("rep")),
+      StorageLevel.MEMORY_AND_DISK)
     val memberRep = hashed.select(col("doc_id"), col("__h"))
       .join(reps, Seq("__h")).select(col("doc_id"), col("rep"))
     val repDocs = hashed

@@ -140,7 +140,11 @@ object Similarity {
                     nPlanes: Int = 12, idCol: String = "vec_id", vecCol: String = "embedding",
                     maxBucketSize: Int = 0): DataFrame = {
     val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
-    val reps = base.groupBy(col("__v")).agg(min(col("vec_id")).as("rep"))
+    // consumed twice (membership join + representative semi-join); persist
+    // so the full-corpus vector aggregation runs once (OpCaches-released)
+    val reps = OpCaches.persist(
+      base.groupBy(col("__v")).agg(min(col("vec_id")).as("rep")),
+      StorageLevel.MEMORY_AND_DISK)
     val memberRep = base.join(reps, Seq("__v")).select(col("vec_id"), col("rep"))
     val repVecs = base
       .join(reps.select(col("rep").as("vec_id")), Seq("vec_id"), "left_semi")
