@@ -141,6 +141,8 @@ object CrawlBench {
       maxRounds = maxRounds,
       shards = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus).toInt,
       broadcastFrontierMaxRows = bcastRows,
+      // "bloom" (default) or "cuckoo" — the per-shard seen pre-filter A/B
+      seenFilterKind = sys.env.getOrElse("GRAFT_SEEN_KIND", "bloom"),
       bloomExpectedPerShard = math.max(1L << 16, 4L * nPages / sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus).toInt))
     val seeds = (0 until nHosts).map(h => Fixtures.urlOf(h, 0L))
     val loop = new CrawlLoop(spark, cfg, pages, spark.emptyDataset[RobotsRule], Map.empty, store)
