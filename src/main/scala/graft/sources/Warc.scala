@@ -41,8 +41,16 @@ object Warc {
   /** Read every WARC record under `path` (plain or gzip, including
     * concatenated per-record gzip members). Parallelism = one task per
     * file; pass a glob over many files for distribution.
+    *
+    * `lenient = false` (default) fails the task loudly on a malformed or
+    * truncated record. `lenient = true` keeps every complete record and
+    * stops at the first corruption in a file with a stderr warning — the
+    * warcio-style posture for real crawl archives, whose tails are
+    * sometimes cut by the archiving process itself. Choose per pipeline:
+    * loud for curated inputs, lenient for raw crawl drops.
     */
-  def readRecords(spark: SparkSession, path: String, minPartitions: Int = 0): Dataset[WarcRecord] = {
+  def readRecords(spark: SparkSession, path: String, minPartitions: Int = 0,
+                  lenient: Boolean = false): Dataset[WarcRecord] = {
     import spark.implicits._
     val mp = if (minPartitions > 0) minPartitions else spark.sparkContext.defaultParallelism
     spark.sparkContext.binaryFiles(path, mp)
@@ -52,7 +60,7 @@ object Warc {
           if (file.endsWith(".gz"))
             new java.util.zip.GZIPInputStream(new BufferedInputStream(raw, 1 << 16), 1 << 16)
           else new BufferedInputStream(raw, 1 << 16)
-        new WarcIterator(file, is)
+        new WarcIterator(file, is, lenient)
       }
       .toDS()
   }
@@ -91,7 +99,7 @@ object Warc {
     * gzip) stream. Header lines are ASCII per spec; the payload block is
     * sized by Content-Length, never scanned for delimiters.
     */
-  private final class WarcIterator(file: String, is: InputStream)
+  private final class WarcIterator(file: String, is: InputStream, lenient: Boolean)
       extends Iterator[WarcRecord] {
 
     private var nextRec: WarcRecord = _
@@ -150,7 +158,21 @@ object Warc {
     }
 
     override def hasNext: Boolean = {
-      if (!done && nextRec == null) advance()
+      if (!done && nextRec == null) {
+        if (lenient) {
+          try advance()
+          catch {
+            // EOFException (truncated payload), ZipException (cut gzip
+            // member), require() failures on garbage headers
+            case e @ (_: java.io.IOException | _: IllegalArgumentException) =>
+              System.err.println(s"WARN Warc: stopping at corrupt record in $file " +
+                s"(lenient mode; remaining bytes skipped): ${e.getMessage}")
+              done = true
+              nextRec = null
+              try is.close() catch { case _: java.io.IOException => () }
+          }
+        } else advance()
+      }
       !done
     }
 

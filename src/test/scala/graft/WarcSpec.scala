@@ -66,6 +66,20 @@ class WarcSpec extends AnyFunSuite {
     assert(recs.count(_.warc_type == "response") === 2)
   }
 
+  test("truncated archive: loud by default, lenient keeps complete records") {
+    val dir = tmpDir("warc-trunc")
+    val full = warcBytes.reduce(_ ++ _)
+    // cut the file mid-way through the LAST record's payload
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/trunc.warc"),
+      full.take(full.length - 40))
+    intercept[org.apache.spark.SparkException] {
+      Warc.readRecords(spark, dir).collect()
+    }
+    val recs = Warc.readRecords(spark, dir, lenient = true).collect()
+    assert(recs.length === 2, "lenient mode keeps every record before the corruption")
+    assert(recs.exists(_.url == "http://h0.test/a"))
+  }
+
   test("toPages: response records -> Page shape with the engine's extraction spec") {
     val dir = tmpDir("warc-pages")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/test.warc"),
