@@ -159,7 +159,12 @@ object CrawlRound {
               greatest(lit(1L), (lit(cfg.roundWallMs) / col("crawlDelayMs")).cast("long")))
               .cast("int").as("__budget")))
       else None
-    val (admitted0, deferred0) = Politeness.partition(allowed, cfg, hostBudgets)
+    // the politeness split's ranked frame is persisted THROUGH the hook so
+    // the salted window exchange over the skewed subset runs once per
+    // round, not once per (admitted, deferred) branch
+    val politePersisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val (admitted0, deferred0) = Politeness.partition(allowed, cfg, hostBudgets,
+      persist = df => { val p = maybePersist(df); politePersisted += p; p })
     val admitted = admitted0.select(fc: _*).persist(StorageLevel.MEMORY_AND_DISK)
     val deferred = maybePersist(deferred0.select(fc: _*))
 
@@ -210,8 +215,10 @@ object CrawlRound {
           .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
           .as[Page]
           .flatMap { p =>
+            // Runners.run = the shared time-bounded surface (timeout error
+            // rows byte-identical to the sequential oracle's)
             rs.map { case (k, fn) =>
-              fn(p) match {
+              Runners.run(fn, p) match {
                 case Right(v)  => RunnerResult(p.url, r, k, Some(v), None)
                 case Left(err) => RunnerResult(p.url, r, k, None, Some(err))
               }
@@ -325,6 +332,7 @@ object CrawlRound {
       .groupBy(col("shard"), col("stage")).agg(sum(col("w")).as("count"))
 
     RoundOut(carry, fresh, order, results, stats,
-      persisted = Seq(f, admitted, hits, ranked, winnowed, fresh, deferred, retries))
+      persisted = Seq(f, admitted, hits, ranked, winnowed, fresh, deferred, retries) ++
+        politePersisted)
   }
 }

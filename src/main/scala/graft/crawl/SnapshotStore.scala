@@ -48,6 +48,27 @@ class SnapshotStore(val root: String, spark: SparkSession) {
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .option("path", tablePath(table, round))
       .saveAsTable(ident)
+    // the snapshot's bucket count is PART of the snapshot, not of whoever
+    // resumes it: a job resumed with a changed `shards` config would
+    // otherwise mis-declare the bucketing on the exchange-free anti-join
+    // path and silently join wrong. Written after the data (crash between
+    // the two = un-committed round, re-run overwrites both).
+    val meta = new Path(s"${tablePath(table, round)}/_graft_buckets")
+    val f = fs(meta)
+    val os = f.create(meta, true)
+    try os.write(buckets.toString.getBytes("UTF-8")) finally os.close()
+  }
+
+  /** bucket count recorded by [[writeBucketed]] (None: pre-metadata store) */
+  def bucketCountOf(table: String, round: Int): Option[Int] = {
+    val meta = new Path(s"${tablePath(table, round)}/_graft_buckets")
+    val f = fs(meta)
+    if (!f.exists(meta)) None
+    else {
+      val is = f.open(meta)
+      val body = try scala.io.Source.fromInputStream(is, "UTF-8").mkString finally is.close()
+      body.trim.toIntOption
+    }
   }
 
   /** Read a snapshot written by [[writeBucketed]], re-registering the
@@ -168,7 +189,12 @@ class SnapshotStore(val root: String, spark: SparkSession) {
     latestExisting("seen_all", k) match {
       case Some(c) =>
         val deltas = (c + 1) to k
-        val base = readBucketed("seen_all", c, "url STRING, urlHash BIGINT", "urlHash", shards)
+        // bucket count comes from the snapshot's own metadata — `shards` is
+        // only the fallback for stores written before the metadata existed.
+        // Trusting the CALLER's current config would mis-declare bucketing
+        // after a resume with a changed shards setting.
+        val buckets = bucketCountOf("seen_all", c).getOrElse(shards)
+        val base = readBucketed("seen_all", c, "url STRING, urlHash BIGINT", "urlHash", buckets)
           .select("url", "urlHash")
         if (deltas.isEmpty) Seq(base)
         else Seq(

@@ -149,7 +149,68 @@ final case class CrawlConfig(
 /** A runner — the engine's typed-UDF surface (SURVEY.md §2 #12). Must be a
   * deterministic pure function for crawl parity; Left = error recorded under
   * the runner's key, Right = result.
+  *
+  * Every invocation runs under a per-runner TIME BUDGET ([[Runners.run]]),
+  * mirroring crawlkit's runner contract (each runner executes under a
+  * `timeout`, default 10 s, and a breach records a timeout error) — a
+  * pathological runner must never stall a whole executor task. A timeout
+  * yields `Left(Runners.timeoutError(timeoutMs))` — identical on the Spark
+  * path and the sequential oracle, so parity holds whenever the runner's
+  * actual cost is well clear of the budget (a runner AT the budget boundary
+  * is nondeterministic by nature — pick budgets with margin).
   */
 trait PageRunner extends Serializable {
   def apply(page: Page): Either[String, String]
+
+  /** per-invocation wall budget in ms; <= 0 disables the bound (runs inline
+    * on the caller thread, no executor handoff)
+    */
+  def timeoutMs: Long = 10000L
+}
+
+/** Time-bounded runner execution — the ONE implementation both the Spark
+  * flatMap and the sequential reference oracle call, so a timeout produces
+  * the byte-identical error row on both paths.
+  */
+object Runners {
+  def timeoutError(timeoutMs: Long): String = s"timeout after ${timeoutMs} ms"
+
+  /** daemon pool: runner tasks must never block JVM exit; cached = one live
+    * thread per concurrently-executing partition, reused across rows
+    */
+  private lazy val pool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-runner")
+      t.setDaemon(true)
+      t
+    })
+
+  /** run `fn(page)` under its own `timeoutMs`. On breach the worker thread
+    * is interrupted (cooperative — a runner hard-looping past its budget
+    * leaks its thread until it yields, the standard JVM limitation) and the
+    * timeout error is recorded. Runner exceptions propagate unchanged (the
+    * pre-timeout behavior: a throwing runner fails the task loudly).
+    */
+  def run(fn: PageRunner, page: Page): Either[String, String] = {
+    val t = fn.timeoutMs
+    if (t <= 0) fn(page)
+    else {
+      val fut = pool.submit(new java.util.concurrent.Callable[Either[String, String]] {
+        override def call(): Either[String, String] = fn(page)
+      })
+      try fut.get(t, java.util.concurrent.TimeUnit.MILLISECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          fut.cancel(true)
+          Left(timeoutError(t))
+        case e: java.util.concurrent.ExecutionException =>
+          val c = e.getCause
+          throw (if (c == null) e else c)
+        case _: InterruptedException =>
+          fut.cancel(true)
+          Thread.currentThread().interrupt()
+          Left(timeoutError(t))
+      }
+    }
+  }
 }

@@ -1,0 +1,71 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.apache.spark.util.CollectionAccumulator
+
+/** Lazy drop accounting for [[Dedup.capBuckets]] (VERDICT r3 Wrong #2).
+  *
+  * The cap's loud-accounting contract used to run an EAGER aggregate job at
+  * plan-construction time — "give me the DataFrame" had a side effect.
+  * Catalyst's `observe` would be the natural lazy fix, but every LSH op
+  * SELF-JOINS the capped bucket frame, and Spark silently drops observed
+  * metrics whose CollectMetrics node appears twice in one query (verified
+  * against 4.1.2). Instead the hot-bucket frame records each dropped bucket
+  * `(keyHash, members)` into a [[CollectionAccumulator]] as it streams past
+  * a marker filter — zero extra jobs — and a session-level
+  * [[QueryExecutionListener]] fires the op's `onCap` callback after the
+  * first action that actually executed the plan. The driver DEDUPES by
+  * bucket key before reporting, so counts stay exact even when the plan's
+  * two join sides evaluate the hot subtree twice.
+  */
+private[graft] object CapStats {
+
+  private val nextId = new AtomicLong()
+
+  private final case class Pending(acc: CollectionAccumulator[(Long, Long)],
+                                   onCap: (Long, Long) => Unit)
+  private val pending = new ConcurrentHashMap[java.lang.Long, Pending]()
+  private val listening =
+    java.util.Collections.newSetFromMap(new ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  /** instrument the hot-bucket frame (`keyCols` bucket key, `__n` member
+    * count) so its rows are accounted to `onCap` lazily, at first action
+    */
+  def observed(hot: DataFrame, keyCols: Seq[String], onCap: (Long, Long) => Unit): DataFrame = {
+    val spark = hot.sparkSession
+    val id = nextId.incrementAndGet()
+    val acc = spark.sparkContext.collectionAccumulator[(Long, Long)](s"graft.cap.$id")
+    pending.put(id, Pending(acc, onCap))
+    ensureListener(spark)
+    val record = udf { (h: Long, n: Long) => acc.add((h, n)); true }.asNondeterministic()
+    hot.filter(record(xxhash64(keyCols.map(col): _*), col("__n")))
+  }
+
+  private def ensureListener(spark: SparkSession): Unit =
+    if (listening.add(spark)) {
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+          val it = pending.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val rows = e.getValue.acc.value
+            if (!rows.isEmpty) {
+              it.remove() // fire once
+              val distinct = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+              rows.forEach(t => distinct.put(t._1, t._2))
+              var sum = 0L
+              distinct.values().forEach(n => sum += n)
+              e.getValue.onCap(distinct.size().toLong, sum)
+            }
+          }
+        }
+        override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+      })
+    }
+}

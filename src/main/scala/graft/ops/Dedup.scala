@@ -22,9 +22,15 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep"))
       .filter(col("n") > 1)
 
-  /** Keep one row (min id) per distinct text — the exact-dedup pass. */
+  /** Keep one row (min id) per distinct text — the exact-dedup pass.
+    * The window partitions on md5(text), NOT the text itself: multi-KB
+    * documents must never be shuffle/sort keys (16-byte keys instead; same
+    * grouping — md5 equality is content equality at any realistic corpus
+    * size, and it is exactly the key [[exactDupGroups]]/[[dedupCorpus]]
+    * already cluster by).
+    */
   def exactDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(col(textCol)).orderBy(col(idCol))
+    val w = Window.partitionBy(md5(col(textCol).cast("binary"))).orderBy(col(idCol))
     docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
@@ -79,12 +85,15 @@ object Dedup {
 
   /** Optional hot-bucket guard for the LSH band join: buckets with more than
     * `maxBucketSize` members are DROPPED — with loud accounting, never
-    * silently (one small aggregate job over the persisted bucket table
-    * computes the drop stats before the plan is returned). A bucket of m
-    * members emits O(m²) candidate pairs; no partition-level skew handling
-    * changes that count, so past the point where exact-dedup composition
-    * (the real fix — [[dedupCorpus]]) has run, a cap is the only defense
-    * against near-identical boilerplate going quadratic. maxBucketSize <= 0
+    * silently. The accounting is LAZY ([[CapStats]]): the hot-bucket frame
+    * records its rows into an accumulator as the plan executes, and the
+    * (buckets, rows) drop counts reach `onCap` on the listener bus right
+    * after the first action on the returned frame — building the plan
+    * fires no Spark job. A bucket of m members emits O(m²)
+    * candidate pairs; no partition-level skew handling changes that count,
+    * so past the point where exact-dedup composition (the real fix —
+    * [[dedupCorpus]]) has run, a cap is the only defense against
+    * near-identical boilerplate going quadratic. maxBucketSize <= 0
     * disables the cap.
     */
   private[graft] def capBuckets(buckets: DataFrame, keyCols: Seq[String], maxBucketSize: Int,
@@ -92,10 +101,10 @@ object Dedup {
     if (maxBucketSize <= 0) buckets
     else {
       val keys = keyCols.map(col)
-      val hot = buckets.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > maxBucketSize)
-      val stats = hot.agg(count(lit(1)).as("b"), coalesce(sum(col("__n")), lit(0L)).as("r")).collect()(0)
-      if (stats.getLong(0) > 0) onCap(stats.getLong(0), stats.getLong(1))
+      val hot = CapStats.observed(
+        buckets.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucketSize),
+        keyCols, onCap)
       // no broadcast hint: the hot set is normally tiny (AQE broadcasts it),
       // but a mis-tuned banding could make it huge — don't force it onto
       // the driver in that case

@@ -50,20 +50,26 @@ object Multimodal {
         height = math.abs(i32le(payload, 22)),
         n_frames = 1, format = "img")
     } else if (payload.length >= 12 && tag(payload, 0) == "RIFF" && tag(payload, 8) == "WAVE") {
-      var off = 12
-      var sampleRate = 0; var bits = 0; var blockAlign = 0; var dataLen = 0
+      // payloads are untrusted crawl bytes: the chunk size is read UNSIGNED
+      // and the offset tracked as a Long, so a hostile size field (e.g. -8,
+      // which would otherwise make the offset stop advancing) can only
+      // overshoot the buffer and terminate the walk — never loop or
+      // overflow. A declared chunk size past the payload end also clamps.
+      var off = 12L
+      var sampleRate = 0; var bits = 0; var blockAlign = 0; var dataLen = 0L
       while (off + 8 <= payload.length) {
-        val id = tag(payload, off)
-        val sz = i32le(payload, off + 4)
+        val o = off.toInt
+        val id = tag(payload, o)
+        val sz = i32le(payload, o + 4).toLong & 0xFFFFFFFFL
         if (id == "fmt " && off + 24 <= payload.length) {
-          sampleRate = i32le(payload, off + 12)
-          blockAlign = u16le(payload, off + 20)
-          bits = u16le(payload, off + 22)
-        } else if (id == "data") dataLen = sz
+          sampleRate = i32le(payload, o + 12)
+          blockAlign = u16le(payload, o + 20)
+          bits = u16le(payload, o + 22)
+        } else if (id == "data") dataLen = math.min(sz, payload.length - off - 8)
         off += 8 + sz + (sz & 1) // RIFF chunks are 2-byte aligned
       }
       MediaMeta(docId, payload.length, width = sampleRate, height = bits,
-        n_frames = if (blockAlign > 0) dataLen / blockAlign else 0, format = "audio")
+        n_frames = if (blockAlign > 0) (dataLen / blockAlign).toInt else 0, format = "audio")
     } else
       throw new UnsupportedOperationException(
         "realDecode handles header-parseable formats only (BMP, WAV); " +

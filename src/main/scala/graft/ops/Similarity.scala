@@ -177,9 +177,22 @@ object Similarity {
     * candidates in the global pool and could never make the global top-k.
     */
   def annTopK(emb: DataFrame, dims: Int, k: Int = 10, nPlanes: Int = 12, tables: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              /** hot-bucket guard for candidate GENERATION ([[Dedup.capBuckets]]):
+                * the pre-prune below bounds what a hot bucket feeds the
+                * window, but an m-member bucket still emits (and cosines)
+                * O(m²) candidate pairs first. Corpora with massive
+                * repeated-vector clusters need this cap (or exact-dedup
+                * first via [[nearDupCorpus]] when pair OUTPUT, not top-k, is
+                * the goal). Dropped buckets lose their candidates — loudly
+                * accounted, recall only. <= 0 = off.
+                */
+              maxBucketSize: Int = 0,
+              onCap: (Long, Long) => Unit = Dedup.logCap("Similarity.annTopK")): DataFrame = {
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val buckets = bucketKeys(emb, dims, nPlanes, tables, idCol, vecCol)
+    val buckets = Dedup.capBuckets(
+      bucketKeys(emb, dims, nPlanes, tables, idCol, vecCol),
+      Seq("t", "bkt"), maxBucketSize, onCap)
     val cands = buckets
       .join(buckets.select(col("t"), col("bkt"), col("id").as("nb")), Seq("t", "bkt"))
       .filter(col("id") =!= col("nb"))

@@ -138,7 +138,7 @@ object ReferenceCrawl {
                 }
             case None =>
               for ((k, fn) <- runners.toSeq.sortBy(_._1))
-                results += (fn(p) match {
+                results += (Runners.run(fn, p) match {
                   case Right(v)  => RunnerResult(e.url, round, k, Some(v), None)
                   case Left(err) => RunnerResult(e.url, round, k, None, Some(err))
                 })

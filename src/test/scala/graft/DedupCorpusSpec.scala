@@ -59,18 +59,32 @@ class DedupCorpusSpec extends AnyFunSuite {
     graft.ops.OpCaches.releaseAll()
   }
 
+  /** cap accounting is lazy (CapStats observe + listener): it arrives on
+    * the listener-bus thread shortly after the first action — poll for it
+    */
+  private def awaitCap(read: => Long, what: String): Long = {
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var v = read
+    while (v == 0L && System.nanoTime() < deadline) { Thread.sleep(50); v = read }
+    assert(v > 0L, s"$what: accounting callback must fire after the first action")
+    v
+  }
+
   test("per-bucket cap drops over-capacity buckets with loud accounting") {
     val n = 2000
     val docs = ((0 until n).map(i => (i.toLong, boiler)) ++
       others.zipWithIndex.map { case (t, i) => ((n + i).toLong, t) })
       .toDF("doc_id", "text")
-    var cappedBuckets = 0L
-    var cappedRows = 0L
+    val cappedBuckets = new java.util.concurrent.atomic.AtomicLong()
+    val cappedRows = new java.util.concurrent.atomic.AtomicLong()
     val pairs = Dedup.minhashNearDups(docs, maxBucketSize = 64,
-      onCap = (b, r) => { cappedBuckets += b; cappedRows += r })
+      onCap = (b, r) => { cappedBuckets.addAndGet(b); cappedRows.addAndGet(r) })
+    assert(cappedBuckets.get() === 0L,
+      "accounting must be LAZY: building the plan fires no job and no callback")
     val nPairs = pairs.count()
-    assert(cappedBuckets > 0L, "the accounting callback must fire for dropped buckets")
-    assert(cappedRows >= n.toLong, "dropped-row accounting covers the hot cluster")
+    awaitCap(cappedBuckets.get(), "minhashNearDups cap")
+    assert(awaitCap(cappedRows.get(), "minhashNearDups rows") >= n.toLong,
+      "dropped-row accounting covers the hot cluster")
     assert(nPairs === 0L, "every bucket holding the identical cluster was dropped")
     graft.ops.OpCaches.releaseAll()
 
@@ -103,6 +117,41 @@ class DedupCorpusSpec extends AnyFunSuite {
     val reps = emb.groupBy("embedding").count()
     assert(reps.count() === 3L)
     out.unpersist()
+    graft.ops.OpCaches.releaseAll()
+  }
+
+  test("annTopK: hot-bucket cap bounds candidate GENERATION (the last uncapped quadratic)") {
+    import graft.ops.Similarity
+    val dims = 8
+    val boilerVec = Array.tabulate(dims)(i => (i + 1).toFloat)
+    val distinct = Seq(
+      Array.tabulate(dims)(i => if (i % 2 == 0) 1f else -1f),
+      Array.tabulate(dims)(i => (dims - i).toFloat),
+      Array.tabulate(dims)(i => (i * i + 1).toFloat))
+    val n = 5000
+    val emb = ((0 until n).map(i => (i.toLong, boilerVec)) ++
+      distinct.zipWithIndex.map { case (v, i) => ((n + i).toLong, v) })
+      .toDF("vec_id", "embedding")
+
+    // capped: the 5000-member identical-vector buckets are dropped before
+    // the self-join — no O(m²) cosine pass ever runs — with loud accounting
+    val capped = new java.util.concurrent.atomic.AtomicLong()
+    val cappedRows = new java.util.concurrent.atomic.AtomicLong()
+    val out = Similarity.annTopK(emb, dims, k = 3, maxBucketSize = 64,
+      onCap = (b, r) => { capped.addAndGet(b); cappedRows.addAndGet(r) }).cache()
+    val ids = out.select("id").distinct().as[Long].collect().toSet
+    awaitCap(capped.get(), "annTopK cap")
+    assert(awaitCap(cappedRows.get(), "annTopK rows") >= n.toLong,
+      "dropped-row accounting covers the hot cluster")
+    assert(!ids.exists(_ < n.toLong),
+      "hot-cluster members produce no neighbors once their buckets are dropped")
+    out.unpersist()
+    graft.ops.OpCaches.releaseAll()
+
+    // cap off (default): identical vectors DO co-bucket and find each other
+    val small = ((0 until 30).map(i => (i.toLong, boilerVec))).toDF("vec_id", "embedding")
+    val uncapped = Similarity.annTopK(small, dims, k = 3)
+    assert(uncapped.count() === 30L * 3, "uncapped path returns full top-k per id")
     graft.ops.OpCaches.releaseAll()
   }
 

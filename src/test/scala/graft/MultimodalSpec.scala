@@ -31,6 +31,29 @@ class MultimodalSpec extends AnyFunSuite {
     ascii("RIFF") ++ le32(4 + fmt.length + data.length) ++ ascii("WAVE") ++ fmt ++ data
   }
 
+  test("hostile WAV chunk sizes terminate: negative size must not loop or overflow") {
+    // sz = -8 once made off += 8 + sz + (sz&1) == 0 — an infinite loop on an
+    // executor task fed untrusted crawl bytes (ADVICE r3). Unsigned read +
+    // Long offset: the walk overshoots and terminates instead.
+    val evilNeg = ascii("RIFF") ++ le32(64) ++ ascii("WAVE") ++
+      ascii("junk") ++ le32(-8) ++ Array.fill[Byte](16)(0)
+    val m1 = Multimodal.realDecode(90L, evilNeg)
+    assert(m1.format === "audio") // parsed the container, walked off cleanly
+    // huge positive size: Int offset would overflow; Long offset terminates
+    val evilBig = ascii("RIFF") ++ le32(64) ++ ascii("WAVE") ++
+      ascii("data") ++ le32(0x7FFFFFFF) ++ Array.fill[Byte](8)(1)
+    val m2 = Multimodal.realDecode(91L, evilBig)
+    assert(m2.format === "audio" && m2.n_frames === 0)
+    // declared data size past the payload end clamps to the real bytes
+    val fmtOnly = ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8)
+    val shortData = ascii("data") ++ le32(1000) ++ Array.fill[Byte](10)(3)
+    val clamped = Multimodal.realDecode(92L,
+      ascii("RIFF") ++ le32(4 + fmtOnly.length + shortData.length) ++ ascii("WAVE") ++
+        fmtOnly ++ shortData)
+    assert(clamped.n_frames === 10, "frame count derives from bytes actually present")
+  }
+
   test("BMP header parse: dimensions, abs of top-down negative height") {
     val m = Multimodal.realDecode(1L, bmp(640, 480))
     assert((m.width, m.height, m.n_frames, m.format) === ((640, 480, 1, "img")))

@@ -140,6 +140,23 @@ class PlanSpec extends AnyFunSuite {
       s"deferred must come from splitting the ranked frame, not an anti-join:\n$deferredPlan")
   }
 
+  test("exactDedup windows on the 16-byte md5 key, never the raw text column") {
+    import spark.implicits._
+    val docs = Seq((3L, "same text"), (1L, "same text"), (2L, "other text"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.exactDedup(docs)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L),
+      "min-id row per distinct text survives")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(text#") && !plan.contains("hashpartitioning(text,"),
+      s"multi-KB documents must not be shuffle keys:\n$plan")
+    // the executed plan pre-projects the key into _w0 (and a LocalRelation
+    // input even constant-folds it); the md5 key is asserted on the
+    // analyzed plan, the shuffle-key shape on the executed plan above
+    val analyzed = out.queryExecution.analyzed.toString
+    assert(analyzed.contains("md5"), s"expected the md5 window key in:\n$analyzed")
+  }
+
   test("minhash LSH near-dups plan as bucket equi-joins, not cross joins") {
     val df = SparkEntry.queries("qd_dedup_minhash")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString

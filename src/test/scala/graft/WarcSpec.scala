@@ -80,6 +80,163 @@ class WarcSpec extends AnyFunSuite {
     assert(recs.exists(_.url == "http://h0.test/a"))
   }
 
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  test("strict mode raises on a corrupted gzip member trailer (ISIZE mismatch)") {
+    val members = warcBytes.map(gz)
+    // flip a byte in the SECOND member's ISIZE trailer: the member's payload
+    // inflates, but the member-boundary verification must fail LOUDLY
+    val corrupt = members(1).clone()
+    corrupt(corrupt.length - 2) = (corrupt(corrupt.length - 2) ^ 0x55).toByte
+    val dir = tmpDir("warc-gz-corrupt")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c.warc.gz"),
+      members(0) ++ corrupt ++ members(2))
+    intercept[org.apache.spark.SparkException] {
+      Warc.readRecords(spark, dir).collect()
+    }
+    // lenient: both records BEFORE the bad boundary survive (the corrupt
+    // trailer is hit when the parser crosses into record 3)
+    val recs = Warc.readRecords(spark, dir, lenient = true).collect()
+    assert(recs.length === 2)
+    assert(recs.map(_.warc_type).sorted.toSeq === Seq("response", "warcinfo"))
+  }
+
+  test("strict mode raises on garbage after the last gzip member") {
+    val dir = tmpDir("warc-gz-garbage")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/g.warc.gz"),
+      warcBytes.map(gz).reduce(_ ++ _) ++ "NOT A GZIP MEMBER".getBytes("UTF-8"))
+    intercept[org.apache.spark.SparkException] {
+      Warc.readRecords(spark, dir).collect()
+    }
+    assert(Warc.readRecords(spark, dir, lenient = true).collect().length === 3,
+      "lenient mode keeps every record before the trailing garbage")
+  }
+
+  test("truncated gzip member: loud by default, lenient keeps prior records") {
+    val dir = tmpDir("warc-gz-trunc")
+    val full = warcBytes.map(gz)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.warc.gz"),
+      full(0) ++ full(1).take(full(1).length - 12))
+    intercept[org.apache.spark.SparkException] {
+      Warc.readRecords(spark, dir).collect()
+    }
+    assert(Warc.readRecords(spark, dir, lenient = true).collect().length === 1)
+  }
+
+  test("oversized record: strict raises, lenient skips it and KEEPS later records") {
+    val dir = tmpDir("warc-oversize")
+    val big = record("response", Some("http://h9.test/huge"), "2026-01-02T00:00:00Z",
+      http("<html>" + "x" * 4096 + "</html>"))
+    // small, BIG, small: a skipped record must leave the stream positioned
+    // exactly at the next record
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/o.warc"),
+      record("response", Some("http://h0.test/a"), "2026-01-02T03:04:05Z", http(htmlA)) ++
+        big ++
+        record("response", Some("http://h1.test/b"), "2026-01-02T03:04:06Z", http(htmlB)))
+    val cap = 1024L
+    intercept[org.apache.spark.SparkException] {
+      Warc.readRecords(spark, dir, maxRecordBytes = cap).collect()
+    }
+    val recs = Warc.readRecords(spark, dir, lenient = true, maxRecordBytes = cap).collect()
+    assert(recs.map(_.url).sorted.toSeq === Seq("http://h0.test/a", "http://h1.test/b"),
+      "records on both sides of the skipped one survive")
+  }
+
+  test("malformed WARC-Date: loud in strict mode, survivable in lenient mode") {
+    val dir = tmpDir("warc-baddate")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/d.warc"),
+      record("response", Some("http://h0.test/ok"), "2026-01-02T03:04:05Z", http(htmlA)) ++
+        record("response", Some("http://h0.test/bad"), "NOT-A-DATE", http(htmlB)))
+    intercept[org.apache.spark.SparkException] {
+      Warc.readRecords(spark, dir).collect()
+    }
+    val recs = Warc.readRecords(spark, dir, lenient = true).collect()
+    assert(recs.map(_.url).toSeq === Seq("http://h0.test/ok"))
+  }
+
+  // ---- HTTP layer (chunked / content-encoding / charset) ----
+
+  private def chunked(body: Array[Byte], chunkSize: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    body.grouped(chunkSize).foreach { c =>
+      out.write(s"${c.length.toHexString}\r\n".getBytes("US-ASCII"))
+      out.write(c)
+      out.write("\r\n".getBytes("US-ASCII"))
+    }
+    out.write("0\r\n\r\n".getBytes("US-ASCII"))
+    out.toByteArray
+  }
+
+  private def httpWith(headers: Seq[String], body: Array[Byte]): Array[Byte] =
+    (s"HTTP/1.1 200 OK\r\n${headers.mkString("\r\n")}\r\n\r\n").getBytes("US-ASCII") ++ body
+
+  private def pageRows(dir: String) =
+    Warc.toPages(Warc.readRecords(spark, dir)).collect()
+      .map(r => (r.getString(0), new String(r.getAs[Array[Byte]]("html"), "UTF-8"), r.getString(3)))
+      .sortBy(_._1)
+
+  test("chunked transfer-encoding is decoded in toPages") {
+    val dir = tmpDir("warc-chunked")
+    val payload = httpWith(
+      Seq("Content-Type: text/html", "Transfer-Encoding: chunked"),
+      chunked(htmlA.getBytes("UTF-8"), 7))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c.warc"),
+      record("response", Some("http://h0.test/a"), "2026-01-02T03:04:05Z", payload))
+    val Array((url, body, text)) = pageRows(dir)
+    assert(url === "http://h0.test/a")
+    assert(body === htmlA, "chunk framing must be stripped from html")
+    assert(text === Extract.extractText(htmlA))
+  }
+
+  test("Content-Encoding gzip and deflate bodies are decompressed in toPages") {
+    val dir = tmpDir("warc-ce")
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val d = new java.util.zip.DeflaterOutputStream(bos) // zlib-wrapped
+      d.write(b); d.close()
+      bos.toByteArray
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/ce.warc"),
+      record("response", Some("http://h0.test/gz"), "2026-01-02T03:04:05Z",
+        httpWith(Seq("Content-Type: text/html", "Content-Encoding: gzip"),
+          gz(htmlA.getBytes("UTF-8")))) ++
+        record("response", Some("http://h1.test/df"), "2026-01-02T03:04:06Z",
+          httpWith(Seq("Content-Type: text/html", "Content-Encoding: deflate"),
+            deflate(htmlB.getBytes("UTF-8")))))
+    val rows = pageRows(dir)
+    assert(rows(0) === (("http://h0.test/gz", htmlA, Extract.extractText(htmlA))))
+    assert(rows(1) === (("http://h1.test/df", htmlB, Extract.extractText(htmlB))))
+  }
+
+  test("chunked + gzip combine (TE inside CE), per real Common-Crawl records") {
+    val dir = tmpDir("warc-te-ce")
+    val payload = httpWith(
+      Seq("Content-Type: text/html", "Transfer-Encoding: chunked", "Content-Encoding: gzip"),
+      chunked(gz(htmlA.getBytes("UTF-8")), 11))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/tc.warc"),
+      record("response", Some("http://h0.test/a"), "2026-01-02T03:04:05Z", payload))
+    assert(pageRows(dir).head._2 === htmlA)
+  }
+
+  test("Content-Type charset governs text extraction (latin-1 page)") {
+    val dir = tmpDir("warc-charset")
+    val htmlL1 = """<html><body>der käseladen ist schön <a href="/x">x</a></body></html>"""
+    val payload = httpWith(
+      Seq("""Content-Type: text/html; charset=ISO-8859-1"""),
+      htmlL1.getBytes("ISO-8859-1")) // ä/ö are NOT valid UTF-8 here
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/l1.warc"),
+      record("response", Some("http://h0.test/l1"), "2026-01-02T03:04:05Z", payload))
+    val pages = Warc.toPages(Warc.readRecords(spark, dir)).collect()
+    assert(pages.head.getString(3) === Extract.extractText(htmlL1),
+      "text must decode under the declared charset, not hard-coded UTF-8")
+    assert(pages.head.getString(3).contains("käseladen ist schön"))
+  }
+
   test("toPages: response records -> Page shape with the engine's extraction spec") {
     val dir = tmpDir("warc-pages")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/test.warc"),
