@@ -10,7 +10,14 @@ import org.apache.spark.sql.SparkSession
   * politeness budgets + robots + runners + checkpoint/resume, printing the
   * crawl order, lineage and crawlkit-shaped result export.
   *
-  * Usage: runMain graft.CrawlDemo [nHosts] [maxPagesPerHost] [hostBudget] [maxRounds]
+  * Usage: runMain graft.CrawlDemo [nHosts] [maxPagesPerHost] [hostBudget] [maxRounds] [warc]
+  *
+  * 5th arg `warc` routes the page source through the REAL ingestion path:
+  * the fixture web is serialized to multi-file `.warc.gz` archives
+  * (per-record gzip members, HTTP payloads mixing plain/chunked/
+  * gzip-encoded bodies), read back with [[graft.sources.Warc]], HTTP-decoded,
+  * and bucketed into the page store before the crawl runs. Goldens match
+  * the in-memory source (same web, byte-identical extracted text).
   */
 object CrawlDemo {
   object TitleRunner extends PageRunner {
@@ -35,8 +42,19 @@ object CrawlDemo {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    val useWarc = args.lift(4).contains("warc")
     val fix = FixtureConfig(nHosts = nHosts, maxPagesPerHost = maxPages)
-    val pages = Fixtures.generateDS(spark, fix).toDF()
+    val pages =
+      if (!useWarc) Fixtures.generateDS(spark, fix).toDF()
+      else {
+        val warcDir = java.nio.file.Files.createTempDirectory("crawl-demo-warc").toString
+        graft.fixtures.WarcFixture.writeWarcGz(Fixtures.generate(fix), warcDir, files = 4)
+        println(s"== source: WARC archives at $warcDir")
+        val storeDir = java.nio.file.Files.createTempDirectory("crawl-demo-pagestore").toString
+        graft.crawl.PageStore.prepareBucketed(spark,
+          graft.sources.Warc.toPages(graft.sources.Warc.readRecords(spark, warcDir)),
+          "t_crawl_demo_warc_pages", 8, storeDir)
+      }
     val robots = spark.createDataset(Seq(
       RobotsRule("h0.test", disallow = Seq("/p/13"), allow = Seq.empty, crawlDelayMs = 0L)))
     val cfg = CrawlConfig(hostBudget = budget, maxRounds = maxRounds)

@@ -118,6 +118,70 @@ object Warc {
       .drop("htmlStr")
       .withColumn("lang", graft.ops.TextAnalysis.langId(col("text")))
 
+  // ---- sink ----
+
+  /** serialize one WARC record: version line + headers + sized payload +
+    * the two-CRLF record separator (ISO 28500 §4)
+    */
+  def recordBytes(warcType: String, uri: Option[String], ts: java.time.Instant,
+                  contentType: String, payload: Array[Byte]): Array[Byte] = {
+    val h = new StringBuilder
+    h ++= "WARC/1.0\r\n"
+    h ++= s"WARC-Type: $warcType\r\n"
+    uri.foreach(u => h ++= s"WARC-Target-URI: $u\r\n")
+    h ++= s"WARC-Date: $ts\r\n"
+    h ++= s"Content-Length: ${payload.length}\r\n"
+    h ++= s"Content-Type: $contentType\r\n"
+    h ++= "\r\n"
+    h.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8) ++ payload ++
+      "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private[graft] def gzipMember(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(b.length / 2 + 64)
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  /** WARC sink: write a Page-shaped frame (url, warc_ts, html) as
+    * `part-<partition>.warc.gz` archives under `dir` — one file per
+    * partition, one gzip member per record (Common Crawl's layout; reads
+    * straight back through [[readRecords]]/[[toPages]]). Each file leads
+    * with a warcinfo record. The html bytes are wrapped as an identity
+    * HTTP/1.1 200 response with a UTF-8 text/html Content-Type, so the
+    * round-trip through the HTTP decode layer is exact.
+    *
+    * Scale shape: the inverse of the reader — file-level parallelism, one
+    * writer task per partition, streaming (never a whole partition in
+    * memory). Size partitions to the ~1 GB archive convention with
+    * repartition before calling. IO goes through the Hadoop FileSystem
+    * API (local FS here; HDFS/S3/… unchanged).
+    */
+  def writePages(pages: DataFrame, dir: String): Unit = {
+    val rows = pages.select(col("url"), col("warc_ts"), col("html"))
+    rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val path = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.warc.gz")
+      val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val out = fs.create(path, true)
+      try {
+        out.write(gzipMember(recordBytes("warcinfo", None, java.time.Instant.EPOCH,
+          "application/warc-fields",
+          s"software: graft\r\npartition: $pid\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        it.foreach { r =>
+          val html = r.getAs[Array[Byte]]("html")
+          val payload =
+            ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n" +
+              s"Content-Length: ${html.length}\r\n\r\n").getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ html
+          out.write(gzipMember(recordBytes("response", Some(r.getAs[String]("url")),
+            r.getAs[java.sql.Timestamp]("warc_ts").toInstant,
+            "application/http; msgtype=response", payload)))
+        }
+      } finally out.close()
+    }
+  }
+
   /** Streaming one-pass WARC record parser over one (possibly multi-member
     * gzip) stream. Header lines are ASCII per spec; the payload block is
     * sized by Content-Length, never scanned for delimiters.

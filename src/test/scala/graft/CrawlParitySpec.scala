@@ -131,6 +131,30 @@ class CrawlParitySpec extends AnyFunSuite {
       runners = Map("title" -> TitleRunner, "len" -> LenRunner))
   }
 
+  test("runner timeout: slow runner yields the identical timeout error row on both paths") {
+    // crawlkit's runner contract: each runner executes under a timeout
+    // (default 10 s) and a breach records a timeout error. Budget margins
+    // are wide (150 ms vs a 5 s stall) so the outcome is deterministic on
+    // both the sequential oracle and the Spark flatMap.
+    object SlowRunner extends PageRunner {
+      override val timeoutMs: Long = 150L
+      def apply(p: Page): Either[String, String] =
+        if (p.text.length % 3 == 0) { Thread.sleep(5000); Right("never-reached") }
+        else Right(s"fast:${p.text.length}")
+    }
+    val f = FixtureConfig(nHosts = 3, maxPagesPerHost = 8)
+    val pages = Fixtures.generate(f)
+    val cfg = CrawlConfig()
+    val runners: Map[String, PageRunner] = Map("slow" -> SlowRunner, "title" -> TitleRunner)
+    val ref = ReferenceCrawl.crawl(pages.map(p => p.url -> p).toMap, Seq.empty,
+      Seq(Fixtures.urlOf(0, 0)), cfg, runners)
+    val timeouts = ref.results.count(_.error.contains(Runners.timeoutError(150L)))
+    assert(timeouts > 0, "scenario must actually trigger timeouts")
+    assert(ref.results.exists(_.result.exists(_.startsWith("fast:"))),
+      "scenario must also have non-timeout slow-runner results")
+    runBothPages("runner-timeout", pages, cfg, Seq(Fixtures.urlOf(0, 0)), runners = runners)
+  }
+
   test("bloom pre-filter off ≡ on (exactness of the seen set)") {
     runBoth("nobloom", fix, CrawlConfig(bloomPrefilter = false), Seq(Fixtures.urlOf(0, 0)))
   }

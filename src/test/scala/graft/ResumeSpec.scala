@@ -50,6 +50,59 @@ class ResumeSpec extends AnyFunSuite {
     storeA.clear(); storeB.clear()
   }
 
+  test("cold-catalog resume: reattach from files in a fresh session, even with a changed shards config") {
+    // The in-memory catalog dies with a JVM; the data and bucket layout do
+    // not. One shared SparkContext per test JVM means a literal restart is
+    // impossible here, so cold state is produced the equivalent way: DROP
+    // the catalog entries (external tables — files stay) and resume through
+    // a newSession(), forcing readBucketed/reattach to re-register every
+    // bucketed snapshot from disk. The resumer also declares a DIFFERENT
+    // cfg.shards: the bucket count persisted in the snapshot metadata (not
+    // the caller's config) must drive the exchange-free seen anti-join.
+    // bloomPrefilter off: bloom shard files are genuinely tied to the shard
+    // count they were written with — a changed-shards resume is only
+    // defined for the exact path (the pre-filter is an optimization).
+    val fix = FixtureConfig(nHosts = 4, maxPagesPerHost = 16)
+    val pagesV = Fixtures.generate(fix)
+    val pages = spark.createDataset(pagesV).toDF()
+    val robots = spark.emptyDataset[RobotsRule]
+    val seeds = Seq(Fixtures.urlOf(0, 0))
+    val cfg = CrawlConfig(hostBudget = 3, compactSeenEvery = 1, shards = 4,
+      bloomPrefilter = false)
+
+    val full = new CrawlLoop(spark, cfg, pages, robots, Map.empty,
+      new SnapshotStore(tmpDir("cold-baseline"), spark)).run(seeds)
+    val fullOrder = full.order(spark).select("url").as[String].collect().toVector
+    val fullSeen = full.seen(spark).select("url").as[String].collect().toSet
+
+    val root = tmpDir("cold-resume")
+    val part = new CrawlLoop(spark, cfg.copy(maxRounds = 2), pages, robots, Map.empty,
+      new SnapshotStore(root, spark)).run(seeds)
+    assert(part.roundsRun === 2)
+    assert(new SnapshotStore(root, spark).latestExisting("seen_all", 2).nonEmpty,
+      "precondition: a bucketed seen_all snapshot exists before the cold resume")
+
+    // cold catalog: drop every graft_* catalog entry; external-table files survive
+    val suffix = s"_${(root.hashCode & 0x7FFFFFFF).toHexString}"
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(n => n.startsWith("graft_") && n.endsWith(suffix))
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
+
+    val spark2 = spark.newSession()
+    val store2 = new SnapshotStore(root, spark2)
+    val resumed = new CrawlLoop(spark2, cfg.copy(shards = 16), // changed shard config
+      spark2.createDataset(pagesV)(org.apache.spark.sql.Encoders.product[Page]).toDF(),
+      spark2.createDataset(Seq.empty[RobotsRule])(org.apache.spark.sql.Encoders.product[RobotsRule]),
+      Map.empty, store2).run(seeds)
+    assert(resumed.roundsRun > 0 && resumed.roundsRun < full.roundsRun,
+      "resume must continue, not re-run committed rounds")
+    assert(resumed.order(spark2).select("url").as(org.apache.spark.sql.Encoders.STRING).collect().toVector === fullOrder,
+      "cold-catalog resume diverged on crawl order")
+    assert(resumed.seen(spark2).select("url").as(org.apache.spark.sql.Encoders.STRING).collect().toSet === fullSeen,
+      "cold-catalog resume diverged on the seen set")
+    store2.clear()
+  }
+
   test("aggressive seen compaction: resume and the public seen() read the compacted chain") {
     val fix = FixtureConfig(nHosts = 4, maxPagesPerHost = 16)
     val pages = spark.createDataset(Fixtures.generate(fix)).toDF()

@@ -237,6 +237,28 @@ class WarcSpec extends AnyFunSuite {
     assert(pages.head.getString(3).contains("käseladen ist schön"))
   }
 
+  test("WARC sink round-trip: writePages -> readRecords -> toPages is the identity on (url, html, text)") {
+    import SparkTestBase.spark.implicits._
+    val pages = graft.fixtures.Fixtures.generate(
+      graft.fixtures.Fixtures.FixtureConfig(nHosts = 3, maxPagesPerHost = 10))
+    val df = spark.createDataset(pages).toDF().repartition(3)
+    val dir = tmpDir("warc-sink")
+    Warc.writePages(df, dir)
+    // drop Hadoop-local .crc sidecars (hidden to Spark's input formats too)
+    val names = new java.io.File(dir).list().filterNot(_.startsWith(".")).sorted.toSeq
+    assert(names.length === 3 && names.forall(_.matches("part-\\d{5}\\.warc\\.gz")),
+      s"one archive per partition, got $names")
+    // strict read-back: every member must verify (the sink writes what the
+    // hardened reader demands)
+    val back = Warc.toPages(Warc.readRecords(spark, dir))
+      .select("url", "html", "text").collect()
+      .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1), "UTF-8"), r.getString(2)))
+      .sortBy(_._1)
+    val expected = pages.map(p =>
+      (p.url, new String(p.html, "UTF-8"), p.text)).sortBy(_._1)
+    assert(back.toSeq === expected)
+  }
+
   test("toPages: response records -> Page shape with the engine's extraction spec") {
     val dir = tmpDir("warc-pages")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/test.warc"),
