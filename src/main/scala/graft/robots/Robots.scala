@@ -40,6 +40,63 @@ object Robots {
         "collapse to one rule per host (reference semantics: last rule wins)")
   }
 
+  /** Parse ONE robots.txt body into the engine's [[RobotsRule]] model
+    * (REP / RFC 9309 subset, matching what the broadcast filter can
+    * evaluate): the `User-agent: *` group's Disallow/Allow path prefixes
+    * plus Crawl-delay (seconds, fractional ok → ms). Consecutive
+    * User-agent lines share a group; keys are case-insensitive; `#`
+    * comments strip; an EMPTY `Disallow:` value means allow-all and adds
+    * no prefix; an unparseable or missing `*` group yields the permissive
+    * empty rule. Agent-specific groups are ignored by design — the engine
+    * crawls as one agent and the rule model is per-host, exactly what the
+    * reference's broadcast-table contract (BASELINE.json:6) materializes.
+    */
+  def parseRobotsTxt(host: String, text: String): RobotsRule = {
+    var inStar = false
+    var agentRun = false // consecutive User-agent lines extend one group
+    val dis = Vector.newBuilder[String]
+    val alw = Vector.newBuilder[String]
+    var delayMs = 0L
+    if (text != null) for (raw <- text.linesIterator) {
+      val line = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }.trim
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val key = line.substring(0, c).trim.toLowerCase
+        val value = line.substring(c + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!agentRun) inStar = false // a NEW group starts; reset membership
+            if (value == "*") inStar = true
+            agentRun = true
+          case _ =>
+            agentRun = false
+            if (inStar) key match {
+              case "disallow" => if (value.nonEmpty) dis += value
+              case "allow" => if (value.nonEmpty) alw += value
+              case "crawl-delay" =>
+                value.toDoubleOption.filter(d => d > 0 && d.isFinite)
+                  .foreach(d => delayMs = math.round(d * 1000))
+              case _ => () // sitemap etc.
+            }
+        }
+      }
+    }
+    RobotsRule(host, dis.result(), alw.result(), delayMs)
+  }
+
+  /** Distributed materialization: (host, robots_txt) rows → the broadcast
+    * rules table. The natural feed is the crawl's own fetches of
+    * `http://host/robots.txt` (or a WARC archive's robots captures).
+    */
+  def fromTexts(robotsTxt: DataFrame, hostCol: String = "host",
+                textCol: String = "robots_txt"): Dataset[RobotsRule] = {
+    val spark = robotsTxt.sparkSession
+    import spark.implicits._
+    robotsTxt.select(col(hostCol).cast("string"), col(textCol).cast("string"))
+      .as[(String, String)]
+      .map { case (h, t) => parseRobotsTxt(h, t) }
+  }
+
   /** Split `frontier` (needs url + host columns) into (allowed, dropped). */
   def partition(frontier: DataFrame, robots: Dataset[RobotsRule]): (DataFrame, DataFrame) = {
     val joined = frontier

@@ -22,11 +22,20 @@ import java.nio.charset.{Charset, StandardCharsets}
   */
 object Http {
 
-  /** Parsed response: header map (lower-cased names, first value wins) and
+  /** Parsed response: status code (0 when the payload has no parseable
+    * status line), header map (lower-cased names, first value wins) and
     * the DECODED body — chunked framing removed, content-encoding
     * decompressed — plus the charset the body's text should decode with.
     */
-  final case class Response(headers: Map[String, String], body: Array[Byte], charset: Charset)
+  final case class Response(status: Int, headers: Map[String, String],
+                            body: Array[Byte], charset: Charset)
+
+  /** "HTTP/1.x 200 OK" → 200; anything else → 0 */
+  private def statusOf(block: String): Int = {
+    val line = block.linesIterator.nextOption.getOrElse("")
+    if (!line.startsWith("HTTP/")) 0
+    else line.split("\\s+").lift(1).flatMap(_.toIntOption).getOrElse(0)
+  }
 
   /** end of the header block: CRLFCRLF per RFC 9112, with the bare-LF
     * tolerance real servers require; returns (headerEnd, bodyStart) or None
@@ -138,22 +147,23 @@ object Http {
     * CRLFCRLF strip.
     */
   def parse(payload: Array[Byte]): Response = headerSplit(payload) match {
-    case None => Response(Map.empty, payload, StandardCharsets.UTF_8)
+    case None => Response(0, Map.empty, payload, StandardCharsets.UTF_8)
     case Some((hEnd, bStart)) =>
-      val headers = parseHeaders(new String(payload, 0, hEnd, StandardCharsets.ISO_8859_1))
+      val block = new String(payload, 0, hEnd, StandardCharsets.ISO_8859_1)
+      val headers = parseHeaders(block)
       var body = java.util.Arrays.copyOfRange(payload, bStart, payload.length)
       if (headers.get("transfer-encoding").exists(_.toLowerCase.contains("chunked")))
         body = dechunk(body)
       for (ce <- headers.get("content-encoding"))
         body = decompress(ce.trim.toLowerCase, body)
-      Response(headers, body, charsetOf(headers.get("content-type")))
+      Response(statusOf(block), headers, body, charsetOf(headers.get("content-type")))
   }
 
-  /** decoded body bytes + the string decoded with the declared charset
-    * (malformed sequences replace, never throw)
+  /** (status, decoded body bytes, body string decoded with the declared
+    * charset — malformed sequences replace, never throw)
     */
-  def decodedBodyAndText(payload: Array[Byte]): (Array[Byte], String) = {
+  def decodedBodyAndText(payload: Array[Byte]): (Int, Array[Byte], String) = {
     val r = parse(payload)
-    (r.body, new String(r.body, r.charset))
+    (r.status, r.body, new String(r.body, r.charset))
   }
 }

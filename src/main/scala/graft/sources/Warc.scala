@@ -107,16 +107,28 @@ object Warc {
     * per URL survive here by design — collapse with
     * [[graft.crawl.PageStore.prepareBucketed]] (or latestCapture) before
     * joining, as the CrawlLoop precondition requires.
+    *
+    * `only2xx = true` keeps only 2xx-status captures — the usual training-
+    * data posture (error pages are boilerplate). Records with no parseable
+    * status line (status 0, e.g. a bare-body payload) are kept either way:
+    * absence of wire framing is not evidence of an error page.
     */
-  def toPages(records: Dataset[WarcRecord]): DataFrame =
-    records.toDF()
+  def toPages(records: Dataset[WarcRecord], only2xx: Boolean = false): DataFrame = {
+    val decoded = records.toDF()
       .filter(col("warc_type") === "response" && col("url") =!= "")
       .select(col("url"), col("warc_ts"), httpDecodeUdf(col("payload")).as("__bh"))
+    val kept =
+      if (only2xx)
+        decoded.filter(col("__bh._1") === 0 ||
+          (col("__bh._1") >= 200 && col("__bh._1") < 300))
+      else decoded
+    kept
       .select(col("url"), col("warc_ts"),
-        col("__bh._1").as("html"), col("__bh._2").as("htmlStr"))
+        col("__bh._2").as("html"), col("__bh._3").as("htmlStr"))
       .withColumn("text", Extract.textCol(col("htmlStr")))
       .drop("htmlStr")
       .withColumn("lang", graft.ops.TextAnalysis.langId(col("text")))
+  }
 
   // ---- sink ----
 

@@ -223,6 +223,23 @@ class WarcSpec extends AnyFunSuite {
     assert(pageRows(dir).head._2 === htmlA)
   }
 
+  test("only2xx filter drops error captures, keeps 2xx and bare-body payloads") {
+    val dir = tmpDir("warc-status")
+    val notFound = ("HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n" +
+      "<html><body>not here</body></html>").getBytes("UTF-8")
+    val bare = htmlA.getBytes("UTF-8") // no HTTP framing at all -> status 0
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/s.warc"),
+      record("response", Some("http://h0.test/ok"), "2026-01-02T03:04:05Z", http(htmlA)) ++
+        record("response", Some("http://h0.test/missing"), "2026-01-02T03:04:06Z", notFound) ++
+        record("response", Some("http://h0.test/bare"), "2026-01-02T03:04:07Z", bare))
+    val all = Warc.toPages(Warc.readRecords(spark, dir))
+    assert(all.count() === 3L, "default keeps every response capture")
+    val ok = Warc.toPages(Warc.readRecords(spark, dir), only2xx = true)
+      .select("url").collect().map(_.getString(0)).sorted.toSeq
+    assert(ok === Seq("http://h0.test/bare", "http://h0.test/ok"),
+      "404 dropped; 200 and unframed payloads kept")
+  }
+
   test("Content-Type charset governs text extraction (latin-1 page)") {
     val dir = tmpDir("warc-charset")
     val htmlL1 = """<html><body>der käseladen ist schön <a href="/x">x</a></body></html>"""
