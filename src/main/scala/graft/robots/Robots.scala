@@ -97,6 +97,26 @@ object Robots {
       .map { case (h, t) => parseRobotsTxt(h, t) }
   }
 
+  /** Derive the rules table from the page store's own `/robots.txt`
+    * captures — the zero-extra-input path for a store ingested from WARC
+    * ([[graft.sources.Warc.toPages]] keeps robots.txt responses like any
+    * other capture). One rule per host (multiple captures: latest warc_ts
+    * wins, matching [[graft.crawl.PageStore.latestCapture]] semantics), so
+    * the [[requireUniqueHosts]] precondition holds by construction.
+    */
+  def fromPages(pages: DataFrame, urlCol: String = "url", textCol: String = "text"): Dataset[RobotsRule] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val caps = pages
+      .filter(UrlFunctions.pathOfUdf(col(urlCol)) === "/robots.txt")
+      .select(UrlFunctions.hostOfUdf(col(urlCol)).as("host"),
+        col("warc_ts"), col(textCol).as("robots_txt"))
+      .groupBy(col("host"))
+      .agg(max(struct(col("warc_ts"), col("robots_txt"))).as("m"))
+      .select(col("host"), col("m.robots_txt").as("robots_txt"))
+    fromTexts(caps)
+  }
+
   /** Split `frontier` (needs url + host columns) into (allowed, dropped). */
   def partition(frontier: DataFrame, robots: Dataset[RobotsRule]): (DataFrame, DataFrame) = {
     val joined = frontier

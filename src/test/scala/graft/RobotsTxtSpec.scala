@@ -52,6 +52,21 @@ class RobotsTxtSpec extends AnyFunSuite {
       RobotsRule("h.test", Seq.empty, Seq.empty, 0L))
   }
 
+  test("fromPages: rules derive from the store's own /robots.txt captures, latest capture wins") {
+    import spark.implicits._
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val pages = Seq(
+      ("http://h0.test/robots.txt", ts(100), "User-agent: *\nDisallow: /old\n"),
+      ("http://h0.test/robots.txt", ts(200), "User-agent: *\nDisallow: /new\nCrawl-delay: 3\n"),
+      ("http://h1.test/robots.txt", ts(100), "User-agent: *\nDisallow: /\n"),
+      ("http://h0.test/p/1", ts(100), "just a page mentioning robots.txt"))
+      .toDF("url", "warc_ts", "text")
+    val rules = Robots.fromPages(pages).collect().map(r => r.host -> r).toMap
+    assert(rules.keySet === Set("h0.test", "h1.test"))
+    assert(rules("h0.test").disallow === Seq("/new"), "latest capture wins")
+    assert(rules("h0.test").crawlDelayMs === 3000L)
+  }
+
   test("parsed rules drive the same broadcast filter (and crawl-delay budgets) the crawl uses") {
     import spark.implicits._
     val texts = Seq(
