@@ -210,6 +210,11 @@ object SparkEntry {
       // vector testdata (at web scale nPlanes grows ~log2(n))
       Similarity.annTopK(t(s, dir, "embeddings"), dims = 64, k = 5, nPlanes = 7, tables = 8)
         .orderBy("id", "rank")),
+    "qd_ann_ivf" -> ((s, dir) =>
+      // the inverted-file ANN scale path; default deterministic centroids
+      // (nlist smallest ids) keep it value-oracle-able in DuckDB
+      Similarity.ivfTopK(t(s, dir, "embeddings"), dims = 64, k = 5, nlist = 16, nprobe = 2)
+        .orderBy("id", "rank")),
     "qd_langid" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
@@ -307,6 +312,24 @@ object SparkEntry {
          SELECT id, rk AS "rank", nb, floor(sim * 1000000 + 0.5) / 1000000 AS sim
          FROM r WHERE rk <= 5 ORDER BY id, rk""",
     "qd_ann_lsh" -> annOracleSql(dims = 64, nPlanes = 7, tables = 8, k = 5),
+    "qd_ann_ivf" ->
+      // same arithmetic as the engine: assignment = cosine vs the 16
+      // smallest-id vectors (deterministic), probe the 2 best lists,
+      // exact cosine among probed-list members, rank tie-break by nb
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+         s AS (SELECT e.vec_id AS id, c.cid, e.v AS v,
+                      list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS csim
+               FROM e, c),
+         a AS (SELECT id, cid, v, row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS cr FROM s),
+         lists AS (SELECT cid, id AS nb, v AS vb FROM a WHERE cr = 1),
+         probes AS (SELECT id, cid, v AS va FROM a WHERE cr <= 2),
+         cand AS (SELECT p.id, l.nb,
+                         list_dot_product(p.va, l.vb) / (sqrt(list_dot_product(p.va, p.va)) * sqrt(list_dot_product(l.vb, l.vb))) AS sim
+                  FROM probes p JOIN lists l USING (cid) WHERE p.id <> l.nb),
+         r AS (SELECT id, nb, sim, row_number() OVER (PARTITION BY id ORDER BY sim DESC, nb) AS rk FROM cand)
+         SELECT id, rk AS "rank", nb, floor(sim * 1000000 + 0.5) / 1000000 AS sim
+         FROM r WHERE rk <= 5 ORDER BY id, rk""",
     "qd_dedup_simhash_all" -> simhashAllOracleSql,
     "qd_dedup_minhash_all" ->
       // exact brute-force word-3-shingle Jaccard over all twinned pairs:

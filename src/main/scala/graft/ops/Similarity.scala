@@ -160,6 +160,66 @@ object Similarity {
       .withColumn("kept", col("dup_of") === col("vec_id"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the second ANN scale path
+    * (alongside the hyperplane-LSH [[annTopK]]): assign every vector to its
+    * nearest of `nlist` centroids (the inverted lists), probe each query's
+    * `nprobe` closest lists, exact cosine only within probed lists. The
+    * candidate join is an equi-join on the centroid id; candidate volume is
+    * ~n²·nprobe/nlist instead of n².
+    *
+    * Scale shape: the centroid table is BROADCAST (nlist rows), so the
+    * assignment pass is a map-side nested loop; the per-id top-nprobe rank
+    * over the n×nlist assignment stream map-side prunes via Spark's partial
+    * WindowGroupLimit before its exchange (all of a row's centroid copies
+    * are task-local). The per-(id, list) pre-prune keeps the global window
+    * input ≤ k·nprobe rows per id — lossless, same shared-total-order
+    * argument as [[annTopK]].
+    *
+    * `centroids` (cid, vector) is pluggable — a real deployment passes
+    * TRAINED centroids (k-means over a sample) and balanced list sizes are
+    * the trainer's responsibility. The default takes the `nlist`
+    * smallest-id vectors: deterministic and SQL-oracle-reproducible, which
+    * is what the correctness gate needs; recall then depends on the data.
+    * `maxListSize` is the same loud last-resort cap as the LSH family's
+    * ([[Dedup.capBuckets]]): a degenerate centroid set can concentrate the
+    * corpus into one list and go quadratic; dropped lists lose their
+    * members' candidates (recall, never precision).
+    */
+  def ivfTopK(emb: DataFrame, dims: Int, k: Int = 10, nlist: Int = 16, nprobe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              centroids: Option[DataFrame] = None,
+              maxListSize: Int = 0,
+              onCap: (Long, Long) => Unit = Dedup.logCap("Similarity.ivfTopK")): DataFrame = {
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cents = centroids
+      .map(c => c.toDF("cid", "cv"))
+      .getOrElse(emb.orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol).as("cid"), col(vecCol).as("cv")))
+    // consumed twice (lists + probes): one assignment pass, cached
+    val assigned = OpCaches.persist(
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("csim", cosine(col("v"), col("cv")))
+        .withColumn("__cr", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))))
+        .filter(col("__cr") <= math.max(1, nprobe))
+        .select(col("id"), col("cid"), col("__cr"), col("v")),
+      StorageLevel.MEMORY_AND_DISK)
+    val lists = Dedup.capBuckets(
+      assigned.filter(col("__cr") === 1).select(col("cid"), col("id").as("nb"), col("v").as("vb")),
+      Seq("cid"), maxListSize, onCap)
+    val probes = assigned.select(col("id"), col("cid"), col("v").as("va"))
+    val perList = Window.partitionBy(col("id"), col("cid")).orderBy(col("sim").desc, col("nb"))
+    val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("nb"))
+    probes.join(lists, Seq("cid"))
+      .filter(col("id") =!= col("nb"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("__lr", row_number().over(perList))
+      .filter(col("__lr") <= k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("nb"), TextAnalysis.halfUp(col("sim"), 6).as("sim"))
+  }
+
   /** Approximate NN: bucket by hyperplane signature (optionally multi-probe
     * with `tables` independent sign families), top-k within merged buckets.
     * Recall/latency trade via nPlanes (bucket granularity) and tables.

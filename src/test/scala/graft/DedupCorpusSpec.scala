@@ -155,6 +155,40 @@ class DedupCorpusSpec extends AnyFunSuite {
     graft.ops.OpCaches.releaseAll()
   }
 
+  test("ivfTopK: probed-list ANN finds in-list neighbors; hot-list cap is loud") {
+    import graft.ops.Similarity
+    val dims = 8
+    // two tight clusters far apart; one TRAINED centroid per cluster via
+    // the pluggable centroids parameter -> at nprobe=1 each vector's top-k
+    // is exactly its cluster mates
+    val protoA = Array.tabulate(dims)(d => (d + 1).toFloat)
+    val protoB = Array.tabulate(dims)(d => if (d % 2 == 0) -1f else 1f)
+    val a = (0 until 6).map(i => (i.toLong, Array.tabulate(dims)(d => protoA(d) + i * 0.001f)))
+    val b = (6 until 12).map(i => (i.toLong, Array.tabulate(dims)(d => protoB(d) + i * 0.001f)))
+    val emb = (a ++ b).toDF("vec_id", "embedding")
+    val cents = Seq((0L, protoA), (1L, protoB)).toDF("cid", "cv")
+    val out = Similarity.ivfTopK(emb, dims, k = 3, nlist = 2, nprobe = 1,
+      centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    assert(out.keySet === (0L until 12L).toSet, "every vector gets neighbors")
+    for ((id, nbs) <- out; (_, nb) <- nbs)
+      assert((id < 6) === (nb < 6), s"$id must only see its own cluster at nprobe=1")
+    graft.ops.OpCaches.releaseAll()
+
+    // degenerate centroids: everything lands in one list -> the cap drops
+    // it loudly and those candidates vanish (recall-only, never silent)
+    val n = 3000
+    val boiler = Array.tabulate(dims)(d => (d + 1).toFloat)
+    val big = ((0 until n).map(i => (i.toLong, boiler))).toDF("vec_id", "embedding")
+    val capped = new java.util.concurrent.atomic.AtomicLong()
+    val res = Similarity.ivfTopK(big, dims, k = 3, nlist = 4, nprobe = 1,
+      maxListSize = 64, onCap = (bk, r) => capped.addAndGet(r))
+    assert(res.count() === 0L, "the single over-capacity list was dropped")
+    awaitCap(capped.get(), "ivfTopK cap")
+    assert(capped.get() >= n.toLong - 4, "accounting covers the hot list")
+    graft.ops.OpCaches.releaseAll()
+  }
+
   test("dedupCorpus semantics: exact dup, near dup, distinct") {
     val a = (1 to 30).map(i => s"w$i").mkString(" ")
     val aNear = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
