@@ -157,6 +157,21 @@ class PlanSpec extends AnyFunSuite {
     assert(analyzed.contains("md5"), s"expected the md5 window key in:\n$analyzed")
   }
 
+  test("ivfTopK: broadcast assignment, map-side WindowGroupLimit prune, equi-join candidates") {
+    val df = SparkEntry.queries("qd_ann_ivf")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid assignment must be a broadcast nested loop (nlist rows):\n${plan.take(3000)}")
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"the n×nlist assignment stream must map-side prune before its exchange:\n${plan.take(3000)}")
+    // the candidate stage is an equi-join on the centroid id — the ONLY
+    // nested-loop join allowed is the tiny centroid broadcast
+    assert(!plan.contains("CartesianProduct"),
+      s"candidates must come from the cid equi-join, never a cartesian:\n${plan.take(3000)}")
+    graft.ops.OpCaches.releaseAll()
+  }
+
   test("minhash LSH near-dups plan as bucket equi-joins, not cross joins") {
     val df = SparkEntry.queries("qd_dedup_minhash")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
