@@ -130,6 +130,39 @@ object Warc {
       .withColumn("lang", graft.ops.TextAnalysis.langId(col("text")))
   }
 
+  /** STREAMING ingestion of a live crawl-drop directory: new `.warc` /
+    * `.warc.gz` files appearing under `path` surface incrementally as WARC
+    * records (Structured Streaming file tracking — each file is processed
+    * exactly once per checkpoint). Compose with [[toPages]] and a
+    * `writeStream` sink; all of toPages' decoding is streaming-compatible.
+    *
+    * Shape caveat vs the batch reader: Spark's `binaryFile` source hands
+    * over each file as ONE in-memory byte array (its contract), so a
+    * streamed archive must fit executor memory — Common Crawl's ~1 GB
+    * convention does; the batch [[readRecords]] path streams byte-by-byte
+    * and has no such bound. Parsing, verification (multi-member gzip CRC,
+    * lenient mode, maxRecordBytes) is the identical [[WarcIterator]].
+    */
+  def readRecordsStream(spark: SparkSession, path: String,
+                        lenient: Boolean = false,
+                        maxRecordBytes: Long = 1L << 30): Dataset[WarcRecord] = {
+    import spark.implicits._
+    spark.readStream
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        val raw = new java.io.ByteArrayInputStream(bytes)
+        val is: InputStream =
+          if (file.endsWith(".gz")) new MultiGzipInputStream(file, raw)
+          else raw
+        new WarcIterator(file, is, lenient, maxRecordBytes)
+      }
+  }
+
   // ---- sink ----
 
   /** serialize one WARC record: version line + headers + sized payload +

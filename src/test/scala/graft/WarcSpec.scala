@@ -276,6 +276,42 @@ class WarcSpec extends AnyFunSuite {
     assert(back.toSeq === expected)
   }
 
+  test("streaming ingestion: files landing in a crawl-drop directory surface incrementally") {
+    import SparkTestBase.spark.implicits._
+    val dropDir = tmpDir("warc-stream-drop")
+    val ckpt = tmpDir("warc-stream-ckpt")
+    def gzFile(name: String, recs: Seq[Array[Byte]]): Unit = {
+      def gz1(b: Array[Byte]): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(b); g.close()
+        bos.toByteArray
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dropDir/$name"),
+        recs.map(gz1).reduce(_ ++ _))
+    }
+    gzFile("drop-0.warc.gz", warcBytes)
+    val q = Warc.toPages(Warc.readRecordsStream(spark, dropDir))
+      .select("url", "text", "lang")
+      .writeStream.format("memory").queryName("warc_stream")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warc_stream").count() === 2L,
+        "first archive's two response records surface (warcinfo filtered)")
+      // a NEW archive lands mid-stream: exactly its records are appended
+      gzFile("drop-1.warc.gz", Seq(record("response", Some("http://h2.test/late"),
+        "2026-01-03T00:00:00Z", http("""<html><body>late arrival page</body></html>"""))))
+      q.processAllAvailable()
+      val rows = spark.table("warc_stream").select("url", "text")
+        .as[(String, String)].collect().toMap
+      assert(rows.keySet === Set("http://h0.test/a", "http://h1.test/b", "http://h2.test/late"))
+      assert(rows("http://h2.test/late") === "late arrival page",
+        "HTTP decode + extraction run identically on the streaming path")
+    } finally q.stop()
+  }
+
   test("toPages: response records -> Page shape with the engine's extraction spec") {
     val dir = tmpDir("warc-pages")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/test.warc"),
