@@ -369,13 +369,13 @@ object SparkEntry {
          SELECT vec_id, dup_of, CASE WHEN dup_of = vec_id THEN 1 ELSE 0 END AS kept
          FROM res ORDER BY vec_id""",
     "qd_dedup_corpus" ->
-      // mirrors Dedup.dedupCorpus: md5 exact clusters -> min-id reps ->
+      // mirrors Dedup.dedupCorpus: sha-256 exact clusters -> min-id reps ->
       // brute-force word-3-shingle Jaccard pairs among reps (valid for the
       // same reason as qd_dedup_minhash_all: banded recall is 1.0 here) ->
       // keep-smallest re-expansion
       """WITH d2 AS (SELECT doc_id, text FROM documents
                      UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents),
-         hx AS (SELECT doc_id, text, md5(text) AS h FROM d2),
+         hx AS (SELECT doc_id, text, sha256(text) AS h FROM d2),
          reps AS (SELECT h, min(doc_id) AS rep FROM hx GROUP BY h),
          mem AS (SELECT doc_id, rep FROM hx JOIN reps USING (h)),
          rd AS (SELECT hx.doc_id, hx.text FROM hx JOIN reps ON hx.doc_id = reps.rep),
@@ -506,7 +506,7 @@ object SparkEntry {
          WHERE n_nationkey IN (SELECT n_nationkey FROM nation WHERE n_nationkey < 20)
          ORDER BY 1""",
     "qd_dedup_exact" ->
-      """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep
+      """SELECT sha256(text) AS h, count(*) AS n, min(doc_id) AS keep
          FROM (SELECT * FROM documents UNION ALL SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars FROM documents)
          GROUP BY 1 HAVING count(*) > 1 ORDER BY h""",
     "qd_dedup_minhash" ->

@@ -26,7 +26,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // drop op-internal caches so the 37 queries don't accumulate blocks
+      // drop op-internal caches so the query suite doesn't accumulate blocks
       graft.ops.OpCaches.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -16,21 +16,28 @@ object Dedup {
 
   // ---------- exact ----------
 
+  /** The content-equality key every exact pass clusters by: SHA-256, not
+    * MD5 — crawl content is ADVERSARIAL and md5 collisions are practically
+    * constructible, so a crafted collision pair would silently merge two
+    * distinct documents into one dedup cluster (dropping one). SHA-256 has
+    * no known collision; 32-byte keys still beat multi-KB texts as
+    * shuffle/sort keys by orders of magnitude.
+    */
+  private[graft] def contentKey(textCol: String): Column = sha2(col(textCol), 256)
+
   /** Exact-duplicate groups by content hash: (h, n, keep) for groups >1. */
   def exactDupGroups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs.groupBy(md5(col(textCol)).as("h"))
+    docs.groupBy(contentKey(textCol).as("h"))
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep"))
       .filter(col("n") > 1)
 
   /** Keep one row (min id) per distinct text — the exact-dedup pass.
-    * The window partitions on md5(text), NOT the text itself: multi-KB
-    * documents must never be shuffle/sort keys (16-byte keys instead; same
-    * grouping — md5 equality is content equality at any realistic corpus
-    * size, and it is exactly the key [[exactDupGroups]]/[[dedupCorpus]]
-    * already cluster by).
+    * The window partitions on the content hash, NOT the text itself:
+    * multi-KB documents must never be shuffle/sort keys (32-byte keys
+    * instead; same grouping as [[exactDupGroups]]/[[dedupCorpus]]).
     */
   def exactDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol).cast("binary"))).orderBy(col(idCol))
+    val w = Window.partitionBy(contentKey(textCol)).orderBy(col(idCol))
     docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
@@ -177,7 +184,7 @@ object Dedup {
     * cluster); AQE skew-splitting moves those pairs around but cannot
     * reduce their count. This composition bounds pair volume at O(m):
     *
-    *   1. EXACT cluster byte-identical texts (md5 hash-aggregate — map-side
+    *   1. EXACT cluster byte-identical texts (sha-256 hash-aggregate — map-side
     *      combine, O(m) rows) and elect the min-id representative.
     *   2. Near-dedup the REPRESENTATIVES only ([[minhashNearDups]]): every
     *      band bucket now holds at most one member per distinct text, so an
@@ -206,9 +213,9 @@ object Dedup {
       seed: Long = 42L,
       maxBucketSize: Int = 0): DataFrame = {
     val hashed = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
-      md5(col(textCol)).as("__h"))
+      contentKey(textCol).as("__h"))
     // consumed by BOTH the membership join and the representative semi-join
-    // — persist the (40-byte/row) cluster table so the full-corpus md5
+    // — persist the (~72-byte/row) cluster table so the full-corpus hash
     // aggregation runs once; released by callers via OpCaches.releaseAll()
     val reps = OpCaches.persist(
       hashed.groupBy(col("__h")).agg(min(col("doc_id")).as("rep")),

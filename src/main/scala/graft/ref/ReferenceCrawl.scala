@@ -23,7 +23,8 @@ import graft.url.{Policy, Urls}
   *      reference's async.queue: a row's key is minted once, at enqueue,
   *      and never changes through deferral or retry.
   *   2. robots filter: drop entries whose host has a matching disallow
-  *      prefix not overridden by a longer/equal allow prefix.
+  *      pattern (RFC 9309 `*`/trailing-`$` wildcards) not overridden by an
+  *      allow pattern of >= specificity (raw pattern length).
   *   3. politeness: per host, admit the first `budget` rows in sorted
   *      order; the rest are deferred unchanged to the next round. budget =
   *      hostBudget, capped (when cfg.roundWallMs > 0 and the host's robots
@@ -68,11 +69,15 @@ object ReferenceCrawl {
     rules.get(host) match {
       case None => true
       case Some(r) =>
+        // RFC 9309 wildcard matching via the SHARED matcher
+        // (graft.robots.Robots.matchLen) — one semantics for the oracle and
+        // the Column-side broadcast filter, pinned against each other by
+        // the parity suite
         val path = Urls.pathOf(url)
-        val dis = r.disallow.filter(path.startsWith).map(_.length).maxOption.getOrElse(-1)
+        val dis = r.disallow.map(p => graft.robots.Robots.matchLen(p, path)).maxOption.getOrElse(-1)
         if (dis < 0) true
         else {
-          val alw = r.allow.filter(path.startsWith).map(_.length).maxOption.getOrElse(-1)
+          val alw = r.allow.map(p => graft.robots.Robots.matchLen(p, path)).maxOption.getOrElse(-1)
           alw >= dis
         }
     }

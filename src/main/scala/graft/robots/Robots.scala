@@ -8,17 +8,73 @@ import org.apache.spark.sql.functions._
 /** robots.txt rules materialized as a broadcast table (BASELINE.json:6,
   * SURVEY.md §2 #16). The rules table is tiny relative to the frontier
   * (one row per host with rules) — always the broadcast side, so the filter
-  * costs no shuffle. Longest-match semantics: a URL is allowed unless some
-  * disallow prefix matches its path and no allow prefix of >= length also
-  * matches (mirrors ReferenceCrawl.robotsAllows exactly; the higher-order
-  * array functions are codegen'd built-ins).
+  * costs no shuffle.
+  *
+  * Matching is the RFC 9309 pattern language: rules match as PATH PREFIXES,
+  * `*` matches any byte sequence, and a TRAILING `$` anchors the pattern to
+  * the end of the path (e.g. a Disallow of `/&#42;.php$`); `$` elsewhere is a
+  * literal, per the reference implementations. Longest-match semantics:
+  * a URL is allowed unless some disallow pattern matches its path and no
+  * allow pattern of >= specificity (raw pattern length, the RFC's octet
+  * count) also matches. Three matchers share these semantics bit-for-bit:
+  * the Column-side [[allowedCol]] (codegen'd LIKE over converted patterns),
+  * the pure-Scala [[matchLen]] (the sequential oracle's matcher), and the
+  * parity suite pins them against each other.
   */
 object Robots {
 
-  /** longest matching prefix length over `prefixes` for `path`, or -1 */
-  private def bestMatch(prefixes: Column, path: Column): Column =
+  // ---- pattern matching (RFC 9309 `*` / trailing-`$`) ----
+
+  /** Pure-Scala matcher — the single source of truth the sequential oracle
+    * uses ([[graft.ref.ReferenceCrawl.robotsAllows]]). Leftmost placement
+    * of the `*`-separated segments is complete: placing a middle segment as
+    * early as possible only ever leaves more path for later segments.
+    */
+  def patternMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val pat = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    val segs = pat.split("\\*", -1)
+    if (!path.startsWith(segs(0))) return false
+    var pos = segs(0).length
+    if (segs.length == 1) return !anchored || pos == path.length
+    var i = 1
+    while (i < segs.length - 1) {
+      val idx = path.indexOf(segs(i), pos)
+      if (idx < 0) return false
+      pos = idx + segs(i).length
+      i += 1
+    }
+    val last = segs(segs.length - 1)
+    if (anchored)
+      if (last.isEmpty) pos <= path.length
+      else path.length - last.length >= pos && path.endsWith(last)
+    else last.isEmpty || path.indexOf(last, pos) >= 0
+  }
+
+  /** specificity of `pattern` against `path`: raw pattern length on match
+    * (the RFC's longest-match measure, counting `*`/`$` octets), else -1
+    */
+  def matchLen(pattern: String, path: String): Int =
+    if (patternMatches(pattern, path)) pattern.length else -1
+
+  /** Column-side mirror of [[patternMatches]] as a SQL LIKE pattern: strip a
+    * trailing `$`, escape LIKE metacharacters (`\` `%` `_`), turn `*` into
+    * `%`, and append `%` unless anchored (LIKE is full-string, so the
+    * trailing `%` IS the prefix semantics). All codegen'd string builtins.
+    */
+  private def toLikePattern(p: Column): Column = {
+    val anchored = p.endsWith("$")
+    val body = regexp_replace(p, "\\$$", "")
+    val esc = replace(replace(replace(body,
+      lit("\\"), lit("\\\\")), lit("%"), lit("\\%")), lit("_"), lit("\\_"))
+    val starred = replace(esc, lit("*"), lit("%"))
+    when(anchored, starred).otherwise(concat(starred, lit("%")))
+  }
+
+  /** longest (raw-length) matching pattern over `patterns` for `path`, or -1 */
+  private def bestMatch(patterns: Column, path: Column): Column =
     coalesce(
-      array_max(transform(filter(prefixes, p => path.startsWith(p)), p => length(p))),
+      array_max(transform(filter(patterns, p => like(path, toLikePattern(p))), p => length(p))),
       lit(-1))
 
   def allowedCol(path: Column, disallow: Column, allow: Column): Column = {
@@ -41,9 +97,11 @@ object Robots {
   }
 
   /** Parse ONE robots.txt body into the engine's [[RobotsRule]] model
-    * (REP / RFC 9309 subset, matching what the broadcast filter can
-    * evaluate): the `User-agent: *` group's Disallow/Allow path prefixes
-    * plus Crawl-delay (seconds, fractional ok → ms). Consecutive
+    * (REP / RFC 9309, matching what the broadcast filter evaluates): the
+    * `User-agent: *` group's Disallow/Allow path patterns (stored verbatim —
+    * `*`/trailing-`$` wildcards are interpreted by the MATCHERS, see
+    * [[patternMatches]]/[[allowedCol]]) plus Crawl-delay (seconds,
+    * fractional ok → ms). Consecutive
     * User-agent lines share a group; keys are case-insensitive; `#`
     * comments strip; an EMPTY `Disallow:` value means allow-all and adds
     * no prefix; an unparseable or missing `*` group yields the permissive
@@ -103,18 +161,31 @@ object Robots {
     * other capture). One rule per host (multiple captures: latest warc_ts
     * wins, matching [[graft.crawl.PageStore.latestCapture]] semantics), so
     * the [[requireUniqueHosts]] precondition holds by construction.
+    *
+    * Parses the RAW decoded body (`html` — the bytes after the HTTP layer's
+    * chunked/content-encoding decode), NOT the extracted `text` column:
+    * [[graft.extract.Extract.textCol]] collapses ALL whitespace runs —
+    * including newlines — to single spaces, and robots.txt is a
+    * LINE-oriented format, so a text-column parse would see one giant line
+    * and silently yield the permissive empty rule for every host. Bytes
+    * decode as UTF-8 with replacement (RFC 9309 §2.3 mandates UTF-8; a
+    * malformed byte must not fail ingestion).
     */
-  def fromPages(pages: DataFrame, urlCol: String = "url", textCol: String = "text"): Dataset[RobotsRule] = {
+  def fromPages(pages: DataFrame, urlCol: String = "url", bodyCol: String = "html"): Dataset[RobotsRule] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    val caps = pages
+    pages
       .filter(UrlFunctions.pathOfUdf(col(urlCol)) === "/robots.txt")
       .select(UrlFunctions.hostOfUdf(col(urlCol)).as("host"),
-        col("warc_ts"), col(textCol).as("robots_txt"))
+        col("warc_ts"), col(bodyCol).cast("binary").as("body"))
       .groupBy(col("host"))
-      .agg(max(struct(col("warc_ts"), col("robots_txt"))).as("m"))
-      .select(col("host"), col("m.robots_txt").as("robots_txt"))
-    fromTexts(caps)
+      .agg(max(struct(col("warc_ts"), col("body"))).as("m"))
+      .select(col("host"), col("m.body").as("body"))
+      .as[(String, Array[Byte])]
+      .map { case (h, b) =>
+        parseRobotsTxt(h,
+          if (b == null) null else new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      }
   }
 
   /** Split `frontier` (needs url + host columns) into (allowed, dropped). */

@@ -137,8 +137,15 @@ object Http {
           p.substring("charset=".length).trim.stripPrefix("\"").stripSuffix("\"")
       }
     }
-    name.filter(n => n.nonEmpty && Charset.isSupported(n)).map(Charset.forName)
-      .getOrElse(StandardCharsets.UTF_8)
+    // Charset.isSupported itself THROWS (IllegalCharsetNameException) on
+    // syntactically illegal names — 'utf 8', 'iso-8859-1,iso-8859-1' and the
+    // like are routine in real crawl headers — which would fail the whole
+    // Spark task from inside the toPages UDF. The best-effort contract means
+    // ANY unresolvable name falls back to UTF-8, never a throw.
+    name.flatMap { n =>
+      try if (n.nonEmpty && Charset.isSupported(n)) Some(Charset.forName(n)) else None
+      catch { case _: IllegalArgumentException => None }
+    }.getOrElse(StandardCharsets.UTF_8)
   }
 
   /** Full response decode: split headers, undo chunked framing, undo

@@ -197,33 +197,83 @@ object Warc {
     * HTTP/1.1 200 response with a UTF-8 text/html Content-Type, so the
     * round-trip through the HTTP decode layer is exact.
     *
+    * TASK-COMMIT PROTOCOL (VERDICT r4 Wrong #2): every attempt writes to an
+    * attempt-unique staging path and atomically RENAMES into place on task
+    * success — a speculative or zombie duplicate attempt can therefore
+    * never interleave bytes into a visible file. The loser of a rename
+    * race sees the winner's committed file and deletes its own staging
+    * copy (both attempts serialize the same rows, so either commit is
+    * correct). Tasks never delete a final path; overwrite-of-a-previous-
+    * run's output happens once, driver-side, before the job starts.
+    *
     * Scale shape: the inverse of the reader — file-level parallelism, one
     * writer task per partition, streaming (never a whole partition in
     * memory). Size partitions to the ~1 GB archive convention with
-    * repartition before calling. IO goes through the Hadoop FileSystem
-    * API (local FS here; HDFS/S3/… unchanged).
+    * repartition before calling. IO goes through the Hadoop FileSystem API
+    * with the SESSION's Hadoop configuration shipped to the tasks (S3
+    * credentials / fs settings intact — not a blank `Configuration()`).
     */
   def writePages(pages: DataFrame, dir: String): Unit = {
+    val sc = pages.sparkSession.sparkContext
+    val conf = new org.apache.spark.util.SerializableConfiguration(sc.hadoopConfiguration)
+    // driver-side overwrite, BEFORE the job: clear prior archives and any
+    // stale staging files once, so task attempts never have to delete a
+    // committed file (the zombie-deletes-the-winner hazard)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(conf.value)
+    if (fs.exists(dirPath)) {
+      fs.globStatus(new org.apache.hadoop.fs.Path(dir, "part-*.warc.gz"))
+        .foreach(st => fs.delete(st.getPath, false))
+      fs.delete(new org.apache.hadoop.fs.Path(dir, stagingDirName), true)
+    }
     val rows = pages.select(col("url"), col("warc_ts"), col("html"))
     rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      val path = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.warc.gz")
-      val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      val out = fs.create(path, true)
-      try {
-        out.write(gzipMember(recordBytes("warcinfo", None, java.time.Instant.EPOCH,
-          "application/warc-fields",
-          s"software: graft\r\npartition: $pid\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))))
-        it.foreach { r =>
-          val html = r.getAs[Array[Byte]]("html")
-          val payload =
-            ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n" +
-              s"Content-Length: ${html.length}\r\n\r\n").getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ html
-          out.write(gzipMember(recordBytes("response", Some(r.getAs[String]("url")),
-            r.getAs[java.sql.Timestamp]("warc_ts").toInstant,
-            "application/http; msgtype=response", payload)))
-        }
-      } finally out.close()
+      val tc = org.apache.spark.TaskContext.get()
+      writePartitionFile(conf.value, dir, tc.partitionId(), tc.taskAttemptId(),
+        it.map(r => (r.getAs[String]("url"), r.getAs[java.sql.Timestamp]("warc_ts"),
+          r.getAs[Array[Byte]]("html"))))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(dir, stagingDirName), true)
+  }
+
+  private val stagingDirName = ".graft-staging"
+
+  /** One attempt's write-then-commit for one partition. Package-visible so
+    * the duplicate-attempt scenario is directly testable without staging a
+    * speculative execution inside a unit test.
+    */
+  private[graft] def writePartitionFile(
+      conf: org.apache.hadoop.conf.Configuration, dir: String, pid: Int, attemptId: Long,
+      rows: Iterator[(String, java.sql.Timestamp, Array[Byte])]): Unit = {
+    val finalPath = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.warc.gz")
+    val tmpPath = new org.apache.hadoop.fs.Path(
+      f"$dir/$stagingDirName/part-$pid%05d.attempt-$attemptId.warc.gz.tmp")
+    val fs = finalPath.getFileSystem(conf)
+    fs.mkdirs(tmpPath.getParent)
+    val out = fs.create(tmpPath, true)
+    var ok = false
+    try {
+      out.write(gzipMember(recordBytes("warcinfo", None, java.time.Instant.EPOCH,
+        "application/warc-fields",
+        s"software: graft\r\npartition: $pid\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      rows.foreach { case (url, ts, html) =>
+        val payload =
+          ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n" +
+            s"Content-Length: ${html.length}\r\n\r\n").getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ html
+        out.write(gzipMember(recordBytes("response", Some(url), ts.toInstant,
+          "application/http; msgtype=response", payload)))
+      }
+      ok = true
+    } finally {
+      out.close()
+      if (!ok) fs.delete(tmpPath, false)
+    }
+    // task commit: atomic rename; both HDFS and the local FS refuse a
+    // rename onto an existing destination, so exactly one attempt wins
+    if (!fs.rename(tmpPath, finalPath)) {
+      if (fs.exists(finalPath)) fs.delete(tmpPath, false) // another attempt committed first
+      else throw new java.io.IOException(
+        s"WARC sink commit failed: rename $tmpPath -> $finalPath")
     }
   }
 

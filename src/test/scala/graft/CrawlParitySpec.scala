@@ -113,6 +113,16 @@ class CrawlParitySpec extends AnyFunSuite {
     runBoth("robots", fix, CrawlConfig(), Seq(Fixtures.urlOf(0, 0)), robots = robots)
   }
 
+  test("robots: RFC 9309 wildcard patterns (* and trailing-$) drop identically on both paths") {
+    // the first disallow uses a mid-pattern wildcard, the second a
+    // star-then-end-anchor pattern;
+    // allow `/p/13` ties the disallow's specificity (both length 5) so the
+    // allow-wins-ties rule is exercised inside a real crawl
+    val robots = Seq(
+      RobotsRule("h0.test", disallow = Seq("/p/*3", "/*1$"), allow = Seq("/p/13"), crawlDelayMs = 0L))
+    runBoth("robots-wildcard", fix, CrawlConfig(), Seq(Fixtures.urlOf(0, 0)), robots = robots)
+  }
+
   test("urlFilter rewrite: prefix rewrite applied before policy") {
     runBoth("rewrite", fix,
       CrawlConfig(rewrite = Some(UrlRewrite("http://h1.test/", "http://h0.test/")),

@@ -140,7 +140,7 @@ class PlanSpec extends AnyFunSuite {
       s"deferred must come from splitting the ranked frame, not an anti-join:\n$deferredPlan")
   }
 
-  test("exactDedup windows on the 16-byte md5 key, never the raw text column") {
+  test("exactDedup windows on the 32-byte sha-256 key, never the raw text column") {
     import spark.implicits._
     val docs = Seq((3L, "same text"), (1L, "same text"), (2L, "other text"))
       .toDF("doc_id", "text")
@@ -151,10 +151,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning(text#") && !plan.contains("hashpartitioning(text,"),
       s"multi-KB documents must not be shuffle keys:\n$plan")
     // the executed plan pre-projects the key into _w0 (and a LocalRelation
-    // input even constant-folds it); the md5 key is asserted on the
-    // analyzed plan, the shuffle-key shape on the executed plan above
+    // input even constant-folds it); the sha2 key is asserted on the
+    // analyzed plan, the shuffle-key shape on the executed plan above.
+    // sha-256 not md5: crawl text is adversarial, md5 collisions are
+    // constructible, and a collided pair would silently drop a document.
     val analyzed = out.queryExecution.analyzed.toString
-    assert(analyzed.contains("md5"), s"expected the md5 window key in:\n$analyzed")
+    assert(analyzed.contains("sha2"), s"expected the sha2 window key in:\n$analyzed")
   }
 
   test("ivfTopK: broadcast assignment, map-side WindowGroupLimit prune, equi-join candidates") {

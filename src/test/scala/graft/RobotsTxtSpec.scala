@@ -55,16 +55,111 @@ class RobotsTxtSpec extends AnyFunSuite {
   test("fromPages: rules derive from the store's own /robots.txt captures, latest capture wins") {
     import spark.implicits._
     val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    // the store's html column holds the RAW decoded body bytes — newlines
+    // intact, unlike the whitespace-collapsed `text` column
     val pages = Seq(
       ("http://h0.test/robots.txt", ts(100), "User-agent: *\nDisallow: /old\n"),
       ("http://h0.test/robots.txt", ts(200), "User-agent: *\nDisallow: /new\nCrawl-delay: 3\n"),
       ("http://h1.test/robots.txt", ts(100), "User-agent: *\nDisallow: /\n"),
       ("http://h0.test/p/1", ts(100), "just a page mentioning robots.txt"))
-      .toDF("url", "warc_ts", "text")
+      .map { case (u, t, b) => (u, t, b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
+      .toDF("url", "warc_ts", "html")
     val rules = Robots.fromPages(pages).collect().map(r => r.host -> r).toMap
     assert(rules.keySet === Set("h0.test", "h1.test"))
     assert(rules("h0.test").disallow === Seq("/new"), "latest capture wins")
     assert(rules("h0.test").crawlDelayMs === 3000L)
+  }
+
+  test("fromPages composes with Warc.toPages: robots.txt survives the full WARC ingest path") {
+    // THE regression pin for the advertised zero-extra-input WARC path
+    // (ADVICE r4 high): Extract.textCol collapses newlines, so parsing the
+    // `text` column would silently yield the permissive empty rule for
+    // every host. fromPages must parse the raw decoded body instead — and
+    // that body must survive the real HTTP decode layer (chunked/gzip
+    // variants included).
+    val robotsTxt = "User-agent: *\nDisallow: /priv\nAllow: /priv/ok\nCrawl-delay: 2\n"
+    val dir = java.nio.file.Files.createTempDirectory("graft-robots-warc").toString
+    val ts = new java.sql.Timestamp(1700000000000L)
+    val pages = Seq(
+      graft.model.Page("http://h0.test/robots.txt", ts,
+        robotsTxt.getBytes(java.nio.charset.StandardCharsets.UTF_8), "", ""),
+      graft.model.Page("http://h0.test/index.html", ts,
+        "<html><body>hello world</body></html>".getBytes(java.nio.charset.StandardCharsets.UTF_8), "", ""),
+      graft.model.Page("http://h1.test/robots.txt", ts,
+        "User-agent: *\nDisallow: /*.php$\n".getBytes(java.nio.charset.StandardCharsets.UTF_8), "", ""))
+    graft.fixtures.WarcFixture.writeWarcGz(pages, dir, files = 2)
+    val store = graft.sources.Warc.toPages(graft.sources.Warc.readRecords(spark, s"$dir/*.warc.gz"))
+    val rules = Robots.fromPages(store).collect().map(r => r.host -> r).toMap
+    assert(rules("h0.test").disallow === Seq("/priv"))
+    assert(rules("h0.test").allow === Seq("/priv/ok"))
+    assert(rules("h0.test").crawlDelayMs === 2000L)
+    assert(rules("h1.test").disallow === Seq("/*.php$"))
+  }
+
+  test("RFC 9309 wildcards: * and trailing-$ in the pure matcher") {
+    import Robots.patternMatches
+    // '*' spans any byte run; leftmost placement is complete
+    assert(patternMatches("/private*", "/private"))
+    assert(patternMatches("/private*", "/privateer/x"))
+    assert(patternMatches("/a/*/c", "/a/b/c"))
+    assert(patternMatches("/a/*/c", "/a/x/y/cde")) // prefix semantics: match then anything
+    assert(!patternMatches("/a/*/c", "/a/c"))
+    // trailing $ anchors to path end
+    assert(patternMatches("/*.php$", "/index.php"))
+    assert(patternMatches("/*.php$", "/a/b.php"))
+    assert(!patternMatches("/*.php$", "/index.php3"))
+    assert(patternMatches("/exact$", "/exact"))
+    assert(!patternMatches("/exact$", "/exactly"))
+    // '*$' = anchored trailing wildcard = plain prefix
+    assert(patternMatches("/p*$", "/p/anything"))
+    // $ elsewhere is a literal
+    assert(patternMatches("/a$b", "/a$b/c"))
+    assert(!patternMatches("/a$b", "/ab"))
+    // plain patterns stay pure prefixes
+    assert(patternMatches("/tmp/", "/tmp/x"))
+    assert(!patternMatches("/tmp/", "/tmpx"))
+  }
+
+  test("Column matcher and pure matcher agree pattern-by-pattern (incl. LIKE metachars)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val patterns = Seq("/private*", "/a/*/c", "/*.php$", "/exact$", "/p*$",
+      "/a$b", "/tmp/", "/x_y", "/pc%t", "/b\\k", "/*mid*end$")
+    val paths = Seq("/private", "/privateer/x", "/a/b/c", "/a/c", "/index.php",
+      "/index.php3", "/exact", "/exactly", "/p/anything", "/a$b/c", "/ab",
+      "/tmp/x", "/tmpx", "/x_y/z", "/xAy/z", "/pc%t1", "/pcXt1", "/b\\k2",
+      "/bXk2", "/1mid2end", "/1mid2end3", "/mid-missing")
+    val rows = for (p <- patterns; u <- paths) yield (p, u)
+    val df = rows.toDF("pattern", "path")
+      .withColumn("col_match",
+        // drive the same allowedCol the broadcast filter uses: a lone
+        // disallow pattern matches iff the row is NOT allowed
+        !Robots.allowedCol(col("path"), array(col("pattern")), typedLit(Array.empty[String])))
+    val got = df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    for (p <- patterns; u <- paths) {
+      assert(got((p, u)) === Robots.patternMatches(p, u),
+        s"Column vs Scala matcher disagree on pattern=$p path=$u")
+    }
+  }
+
+  test("longest-match specificity: allow wins at >= specificity, wildcard lengths count") {
+    import spark.implicits._
+    val rules = Seq(graft.model.RobotsRule("h.test", Seq("/*.php$"), Seq("/ok/*.php$"), 0L))
+      .toDS()
+    val frontier = Seq(
+      ("http://h.test/x.php", "h.test"), // disallowed (no allow match)
+      ("http://h.test/ok/x.php", "h.test"), // allowed: longer allow pattern
+      ("http://h.test/x.html", "h.test")) // no disallow match
+      .toDF("url", "host")
+    val (allowed, dropped) = Robots.partition(frontier, rules)
+    assert(allowed.select("url").as[String].collect().toSet ===
+      Set("http://h.test/ok/x.php", "http://h.test/x.html"))
+    assert(dropped.select("url").as[String].collect().toSeq === Seq("http://h.test/x.php"))
+    // and the sequential oracle agrees
+    val rm = Map("h.test" -> graft.model.RobotsRule("h.test", Seq("/*.php$"), Seq("/ok/*.php$"), 0L))
+    assert(!graft.ref.ReferenceCrawl.robotsAllows(rm, "http://h.test/x.php", "h.test"))
+    assert(graft.ref.ReferenceCrawl.robotsAllows(rm, "http://h.test/ok/x.php", "h.test"))
+    assert(graft.ref.ReferenceCrawl.robotsAllows(rm, "http://h.test/x.html", "h.test"))
   }
 
   test("parsed rules drive the same broadcast filter (and crawl-delay budgets) the crawl uses") {
