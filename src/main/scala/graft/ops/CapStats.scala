@@ -20,52 +20,84 @@ import org.apache.spark.util.CollectionAccumulator
   * `(keyHash, members)` into a [[CollectionAccumulator]] as it streams past
   * a marker filter — zero extra jobs — and a session-level
   * [[QueryExecutionListener]] fires the op's `onCap` callback after the
-  * first action that actually executed the plan. The driver DEDUPES by
+  * first action whose EXECUTED PLAN contains this op's marker tag (a
+  * concurrent unrelated query on the same session can therefore never
+  * consume another op's half-populated accumulator). The driver DEDUPES by
   * bucket key before reporting, so counts stay exact even when the plan's
   * two join sides evaluate the hot subtree twice.
+  *
+  * Accuracy contract: under a FULL action (count/collect/write — what every
+  * graft op's consumers run) the reported counts are exact. Under a partial
+  * action that skips partitions (limit/take/show) they are a LOWER BOUND —
+  * only the partitions that actually streamed are accounted. An observed
+  * frame whose plan is never executed holds its (tiny: one accumulator +
+  * callback) entry until the application ends; application shutdown clears
+  * the registry.
   */
 private[graft] object CapStats {
 
   private val nextId = new AtomicLong()
 
-  private final case class Pending(acc: CollectionAccumulator[(Long, Long)],
+  private final case class Pending(tag: String,
+                                   acc: CollectionAccumulator[(Long, Long)],
                                    onCap: (Long, Long) => Unit)
   private val pending = new ConcurrentHashMap[java.lang.Long, Pending]()
   private val listening =
     java.util.Collections.newSetFromMap(new ConcurrentHashMap[SparkSession, java.lang.Boolean]())
 
   /** instrument the hot-bucket frame (`keyCols` bucket key, `__n` member
-    * count) so its rows are accounted to `onCap` lazily, at first action
+    * count) so its rows are accounted to `onCap` lazily, at the first
+    * action that executes this frame's plan
     */
   def observed(hot: DataFrame, keyCols: Seq[String], onCap: (Long, Long) => Unit): DataFrame = {
     val spark = hot.sparkSession
     val id = nextId.incrementAndGet()
-    val acc = spark.sparkContext.collectionAccumulator[(Long, Long)](s"graft.cap.$id")
-    pending.put(id, Pending(acc, onCap))
+    val tag = s"graft_cap_$id"
+    val acc = spark.sparkContext.collectionAccumulator[(Long, Long)](tag)
+    pending.put(id, Pending(tag, acc, onCap))
     ensureListener(spark)
-    val record = udf { (h: Long, n: Long) => acc.add((h, n)); true }.asNondeterministic()
-    hot.filter(record(xxhash64(keyCols.map(col): _*), col("__n")))
+    // the third argument is an identifying literal: it rides into the
+    // executed-plan string, which is how the listener matches a completed
+    // execution to THIS op's accumulator
+    val record = udf { (h: Long, n: Long, _tag: String) => acc.add((h, n)); true }
+      .asNondeterministic()
+    hot.filter(record(xxhash64(keyCols.map(col): _*), col("__n"), lit(tag)))
   }
 
   private def ensureListener(spark: SparkSession): Unit =
     if (listening.add(spark)) {
       spark.listenerManager.register(new QueryExecutionListener {
-        override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
-          val it = pending.entrySet().iterator()
-          while (it.hasNext) {
-            val e = it.next()
-            val rows = e.getValue.acc.value
-            if (!rows.isEmpty) {
-              it.remove() // fire once
-              val distinct = new java.util.HashMap[java.lang.Long, java.lang.Long]()
-              rows.forEach(t => distinct.put(t._1, t._2))
-              var sum = 0L
-              distinct.values().forEach(n => sum += n)
-              e.getValue.onCap(distinct.size().toLong, sum)
+        override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+          if (!pending.isEmpty) {
+            // computed once per completed query, only while caps are armed
+            val planStr = try qe.executedPlan.toString catch { case _: Throwable => "" }
+            val it = pending.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              // fire ONLY for an execution of the plan that carries this
+              // op's marker — an unrelated concurrent query must not read
+              // the accumulator mid-population
+              if (planStr.contains(e.getValue.tag)) {
+                val rows = e.getValue.acc.value
+                if (!rows.isEmpty) {
+                  it.remove() // fire once
+                  val distinct = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+                  rows.forEach(t => distinct.put(t._1, t._2))
+                  var sum = 0L
+                  distinct.values().forEach(n => sum += n)
+                  e.getValue.onCap(distinct.size().toLong, sum)
+                }
+              }
             }
           }
-        }
         override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+      })
+      // never-executed observed frames must not leak entries past the app:
+      // clear the registry at application end
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          pending.clear()
       })
     }
 }

@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
   * `binary` columns + typed metadata, exactly like Common-Crawl WARC
   * payloads. The Spark-side machinery — schema, batch shape, partition
   * sizing, per-partition decoder amortization — is real and tested.
-  * Codecs: [[Multimodal.realDecode]] parses real BMP and WAV headers in
-  * pure JVM (golden-tested); compressed formats (JPEG/MP4/...) would need
-  * codec libraries absent from this container and fail loudly there.
+  * Codecs: [[Multimodal.realDecode]] decodes real PNG/JPEG (javax.imageio)
+  * and parses BMP/WAV headers in pure JVM (golden-tested); video and
+  * compressed-audio formats (MP4/...) would need codec libraries absent
+  * from this container and fail loudly there.
   * [[Multimodal.fakeDecode]] is the deterministic stand-in wired into the
   * harness queries so results stay SQL-oracle-able.
   */
@@ -30,21 +31,42 @@ object Multimodal {
   private def tag(b: Array[Byte], o: Int): String =
     new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-  /** Real header-parse decode for the formats a pure JVM can handle without
-    * codec libraries — BMP (BITMAPINFOHEADER) and RIFF/WAVE. Field mapping
-    * into the generic [[MediaMeta]] envelope:
-    *   - BMP:  width/height = pixel dimensions (abs: negative BMP height
-    *     means top-down row order), n_frames = 1, format = "img".
+  private def isPng(p: Array[Byte]): Boolean =
+    p.length >= 8 && (p(0) & 0xFF) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
+  private def isJpeg(p: Array[Byte]): Boolean =
+    p.length >= 3 && (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8 && (p(2) & 0xFF) == 0xFF
+
+  /** Real decode for the formats a pure JVM handles without external codec
+    * libraries — PNG and JPEG via `javax.imageio` (the two formats that
+    * dominate real web corpora; full pixel decode, pure JVM, headless-safe),
+    * plus hand-parsed BMP (BITMAPINFOHEADER) and RIFF/WAVE headers. Field
+    * mapping into the generic [[MediaMeta]] envelope:
+    *   - PNG/JPEG/BMP: width/height = pixel dimensions (BMP abs: negative
+    *     height means top-down row order), n_frames = 1, format = "img".
     *   - WAV:  width = sample rate (Hz), height = bits per sample,
     *     n_frames = sample-frame count (data bytes / block align),
     *     format = "audio".
-    * Compressed formats (JPEG/PNG/MP4/...) need codec libraries that do not
-    * exist in this container and fail loudly here — a real deployment
-    * extends this match (e.g. JNI/ffmpeg on the executor image). The
+    * Video and compressed-audio codecs (MP4/Opus/...) need libraries that
+    * do not exist in this container and fail loudly here — a real
+    * deployment extends this match (e.g. JNI/ffmpeg on the executor
+    * image). Corrupt/truncated image bytes also fail LOUDLY (never a
+    * half-decoded silent zero): crawl payloads are untrusted, and the
+    * caller chooses lenient handling at the pipeline level, not here. The
     * Spark-side plumbing ([[decodeBatch]]) is identical either way.
     */
   def realDecode(docId: Long, payload: Array[Byte]): MediaMeta =
-    if (payload.length >= 26 && payload(0) == 'B' && payload(1) == 'M') {
+    if (isPng(payload) || isJpeg(payload)) {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            throw new UnsupportedOperationException(
+              s"corrupt ${if (isPng(payload)) "PNG" else "JPEG"} payload: ${e.getMessage}")
+        }
+      if (img == null)
+        throw new UnsupportedOperationException("image signature present but no ImageIO codec decoded it")
+      MediaMeta(docId, payload.length, img.getWidth, img.getHeight, n_frames = 1, format = "img")
+    } else if (payload.length >= 26 && payload(0) == 'B' && payload(1) == 'M') {
       MediaMeta(docId, payload.length,
         width = math.abs(i32le(payload, 18)),
         height = math.abs(i32le(payload, 22)),
@@ -72,8 +94,8 @@ object Multimodal {
         n_frames = if (blockAlign > 0) (dataLen / blockAlign).toInt else 0, format = "audio")
     } else
       throw new UnsupportedOperationException(
-        "realDecode handles header-parseable formats only (BMP, WAV); " +
-          "compressed codecs require libraries not present in this sandbox")
+        "realDecode handles PNG, JPEG (javax.imageio), BMP, and WAV; " +
+          "video/compressed-audio codecs require libraries not present in this sandbox")
 
   /** Deterministic fake decode — pure arithmetic on the payload length, so
     * a SQL oracle can reproduce it bit-for-bit.

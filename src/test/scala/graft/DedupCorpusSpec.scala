@@ -189,6 +189,46 @@ class DedupCorpusSpec extends AnyFunSuite {
     graft.ops.OpCaches.releaseAll()
   }
 
+  test("trained IVF centroids: recall@k >= 0.9 vs brute force; smallest-id default materially worse") {
+    import graft.ops.Similarity
+    // 8 tight, well-separated clusters with ids assigned CLUSTER-MAJOR: the
+    // deterministic smallest-id default picks all nlist centroids from
+    // cluster 0 — the degenerate case the trainer exists for. Near-identical
+    // centroids make the argmax assignment collapse the whole corpus into
+    // ONE inverted list (the quadratic-blob scale failure), so the honest
+    // comparison runs BOTH paths under the hot-list cap a production
+    // deployment needs: the mega-list is dropped loudly and default recall
+    // collapses, while trained centroids keep every list under the cap and
+    // recall >= 0.9. nprobe=2 keeps trained recall robust when the init
+    // splits one tight cluster across two centroids (the sub-centroids are
+    // the query's two nearest lists).
+    val dims = 16; val nClusters = 8; val per = 50
+    def center(c: Int): Array[Float] = Array.tabulate(dims)(d =>
+      (if (d == 2 * c || d == 2 * c + 1) 4f else 0f) + 0.1f * ((c * dims + d) % 7))
+    val emb = (0 until nClusters * per).map { id =>
+      val c = id / per
+      (id.toLong, Array.tabulate(dims)(d => center(c)(d) + 0.01f * ((id * 31 + d * 7) % 5)))
+    }.toDF("vec_id", "embedding")
+    val k = 5
+    val cap = 2 * per // generous: twice the true cluster size
+    val exact = Similarity.bruteForceTopK(emb, k).cache()
+    val trained = Similarity.trainCentroids(emb, dims, nlist = nClusters, iters = 5)
+    val rTrained = Similarity.recallAtK(
+      Similarity.ivfTopK(emb, dims, k, nlist = nClusters, nprobe = 2,
+        centroids = Some(trained), maxListSize = cap), exact)
+    val rDefault = Similarity.recallAtK(
+      Similarity.ivfTopK(emb, dims, k, nlist = nClusters, nprobe = 2,
+        maxListSize = cap), exact)
+    assert(rTrained >= 0.9, s"trained-centroid recall@$k = $rTrained")
+    assert(rDefault <= rTrained - 0.15,
+      s"smallest-id default (recall $rDefault) must be materially worse than trained ($rTrained)")
+    // rTrained >= 0.9 UNDER the cap doubles as the scale-shape proof: had
+    // any trained list exceeded 2x the true cluster size, its drop would
+    // have collapsed that cluster's recall
+    exact.unpersist()
+    graft.ops.OpCaches.releaseAll()
+  }
+
   test("dedupCorpus semantics: exact dup, near dup, distinct") {
     val a = (1 to 30).map(i => s"w$i").mkString(" ")
     val aNear = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"

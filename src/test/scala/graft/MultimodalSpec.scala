@@ -69,6 +69,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.n_frames === 100) // 400 bytes / (2ch * 2 bytes)
   }
 
+  test("PNG decode via javax.imageio: real fixture bytes, exact dimensions") {
+    // deterministic fixture: render a gradient and round-trip through the
+    // JDK's own PNG encoder — the decode side is what realDecode exercises
+    val img = new java.awt.image.BufferedImage(7, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 7; y <- 0 until 5) img.setRGB(x, y, (x * 40) << 16 | (y * 50) << 8 | 7)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos), "JDK PNG writer present")
+    val bytes = baos.toByteArray
+    val m = Multimodal.realDecode(10L, bytes)
+    assert((m.width, m.height, m.n_frames, m.format, m.byte_len) === (7, 5, 1, "img", bytes.length))
+  }
+
+  test("JPEG decode via javax.imageio: real fixture bytes, exact dimensions") {
+    val img = new java.awt.image.BufferedImage(12, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 12; y <- 0 until 9) img.setRGB(x, y, (x * 20) << 16 | (y * 25) << 8)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos), "JDK JPEG writer present")
+    val bytes = baos.toByteArray
+    val m = Multimodal.realDecode(11L, bytes)
+    assert((m.width, m.height, m.format) === (12, 9, "img"))
+  }
+
+  test("truncated PNG fails loudly, never a silent half-decode") {
+    val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val cut = baos.toByteArray.take(24) // signature + partial IHDR
+    intercept[UnsupportedOperationException] { Multimodal.realDecode(12L, cut) }
+  }
+
   test("unsupported magic fails loudly (the honest codec boundary)") {
     intercept[UnsupportedOperationException] {
       Multimodal.realDecode(4L, Array[Byte](0x50, 0x4B, 3, 4) ++ Array.fill[Byte](60)(0))

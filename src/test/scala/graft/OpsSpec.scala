@@ -80,6 +80,18 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.25, f"ANN recall@5 too low: $recall%.3f")
   }
 
+  test("ann IVF recall vs brute force with trained centroids (sf0.001)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(e, k = 5).cache()
+    val trained = Similarity.trainCentroids(e, dims = 64, nlist = 8, iters = 3)
+    val r = Similarity.recallAtK(
+      Similarity.ivfTopK(e, dims = 64, k = 5, nlist = 8, nprobe = 2, centroids = Some(trained)),
+      exact)
+    exact.unpersist()
+    assert(r >= 0.4, f"trained-IVF recall@5 too low: $r%.3f")
+    graft.ops.OpCaches.releaseAll()
+  }
+
   test("embedding near-dup pairs via LSH buckets find identical vectors") {
     val pairs = Similarity.nearDupPairs(embs, dims = 4, threshold = 0.9999)
       .select("a", "b").as[(Long, Long)].collect().toSet
