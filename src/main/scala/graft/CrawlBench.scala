@@ -143,6 +143,9 @@ object CrawlBench {
       broadcastFrontierMaxRows = bcastRows,
       // "bloom" (default) or "cuckoo" — the per-shard seen pre-filter A/B
       seenFilterKind = sys.env.getOrElse("GRAFT_SEEN_KIND", "bloom"),
+      // long-crawl stress knob: small values force frequent seen-set
+      // compaction so a many-round run exercises the compaction chain
+      compactSeenEvery = sys.env.getOrElse("GRAFT_COMPACT_EVERY", "16").toInt,
       bloomExpectedPerShard = math.max(1L << 16, 4L * nPages / sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus).toInt))
     val seeds = (0 until nHosts).map(h => Fixtures.urlOf(h, 0L))
     val loop = new CrawlLoop(spark, cfg, pages, spark.emptyDataset[RobotsRule], Map.empty, store)
@@ -167,6 +170,19 @@ object CrawlBench {
     val peak = perRound.map(_._1).max
     val steady = perRound.filter(_._1 >= peak / 10)
     val steadyThr = steady.map(_._1).sum.toDouble / (steady.map(_._2).sum.toDouble / 1000.0)
+
+    // long-crawl fixed-cost evidence (GRAFT_ROUNDS_CURVE=1): per-round wall
+    // vs round number — a flat curve proves the per-round fixed cost and
+    // the seen/compaction chain do NOT grow with round count (a 10^10-URL
+    // crawl is hundreds of rounds)
+    if (sys.env.contains("GRAFT_ROUNDS_CURVE")) {
+      val curve = out.lineage(spark).groupBy("round")
+        .agg(sum(col("fetched") + col("discovered")).as("work"), max("wallMs").as("wallMs"))
+        .orderBy("round")
+        .collect().map(r => s"[${r.get(0)},${r.getLong(1)},${r.getLong(2)}]")
+      println(s"""{"bench":"rounds_curve","cpus":$cpus,"compact_every":${cfg.compactSeenEvery},""" +
+        s""""rounds":${out.roundsRun},"curve":[${curve.mkString(",")}]}""")
+    }
 
     println(s"""{"bench":"crawl","cpus":$cpus,"pages":$nPages,"rounds":${out.roundsRun},""" +
       s""""bucketed":$bucketed,"fetched":$fetched,"discovered":$discovered,"deduped":$deduped,"errors":$errors,""" +

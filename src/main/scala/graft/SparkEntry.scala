@@ -138,6 +138,18 @@ object SparkEntry {
         .select("c_custkey", "n_name")
         .orderBy("c_custkey", "n_name")
     }),
+    // the RFC 9309 wildcard matcher itself, value-oracled: synthetic paths
+    // from doc_id against literal wildcard rules; the DuckDB oracle applies
+    // the SAME like-pattern conversion by hand (see oracleSql)
+    "q16_robots_wildcard" -> ((s, dir) => {
+      val dis = array(lit("/doc/*3$"), lit("/doc/1*"))
+      val alw = array(lit("/doc/13*"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), concat(lit("/doc/"), col("doc_id")).as("path"))
+        .withColumn("allowed",
+          graft.robots.Robots.allowedCol(col("path"), dis, alw).cast("int"))
+        .orderBy("doc_id")
+    }),
     "q17_checkpoint_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
       t(s, dir, "nation").write.mode("overwrite").parquet(tmp)
@@ -490,6 +502,19 @@ object SparkEntry {
       """SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
          WHERE n_name LIKE 'NATION_1%' OR n_name LIKE 'NATION_2%'
          ORDER BY c_custkey, n_name""",
+    "q16_robots_wildcard" ->
+      // hand-converted like patterns: '/doc/*3$' (anchored) -> '/doc/%3';
+      // '/doc/1*' -> '/doc/1%'; '/doc/13*' -> '/doc/13%'; specificity =
+      // raw pattern length (8, 7, 8); allow wins at >= specificity
+      """SELECT doc_id, path,
+                CASE WHEN greatest(d1, d2) = -1 OR a1 >= greatest(d1, d2)
+                     THEN 1 ELSE 0 END AS allowed
+         FROM (SELECT doc_id, '/doc/' || doc_id AS path,
+                      CASE WHEN '/doc/' || doc_id LIKE '/doc/%3' THEN 8 ELSE -1 END AS d1,
+                      CASE WHEN '/doc/' || doc_id LIKE '/doc/1%' THEN 7 ELSE -1 END AS d2,
+                      CASE WHEN '/doc/' || doc_id LIKE '/doc/13%' THEN 8 ELSE -1 END AS a1
+               FROM documents)
+         ORDER BY doc_id""",
     "q17_checkpoint_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "q18_agg_tpch_q1" ->
