@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composition a training-data pipeline
+  * actually runs over a crawled document store, assembled from the
+  * engine's first-class ops:
+  *
+  *   1. ANNOTATE (one pass, no shuffle): language-ID
+  *      ([[TextAnalysis.langId]]), quality score
+  *      ([[TextAnalysis.qualityScore]]), token count.
+  *   2. FILTER: language allowlist, quality floor, token-count bounds —
+  *      all plain codegen predicates, evaluated in the same stage as the
+  *      annotation pass.
+  *   3. DEDUP: [[Dedup.dedupCorpus]] on the survivors — exact sha-256
+  *      clustering FIRST (bounds boilerplate at O(cluster)), MinHash-LSH
+  *      near-dup on representatives, keep-smallest re-expansion.
+  *
+  * Output contract — NO SILENT ROW LOSS, the cardinal sin of corpus
+  * pipelines: [[curate]] returns the curated table AND a per-input-doc
+  * audit `(doc_id, verdict, dup_of)` where verdict ∈ {kept, lang,
+  * quality, tokens, duplicate}. Every input id appears exactly once;
+  * `audit.groupBy("verdict").count()` is the pipeline's funnel report and
+  * costs one cheap aggregate, not one action per stage.
+  *
+  * Scale shape: stage 1-2 are a single map-only pass; stage 3's shuffles
+  * are the (capped, de-amplified) dedup shapes already pinned by
+  * PlanSpec/DedupCorpusSpec. Nothing here adds a new shuffle.
+  */
+object Curate {
+
+  final case class CurateConfig(
+      /** language allowlist; empty = keep every language */
+      langs: Seq[String] = Seq("en"),
+      minQuality: Double = 0.3,
+      minTokens: Int = 5,
+      maxTokens: Int = 1 << 20,
+      /** near-dup Jaccard threshold for the dedup stage */
+      nearDupThreshold: Double = 0.7,
+      /** hot-bucket guard for the LSH stage ([[Dedup.capBuckets]]); <=0 off */
+      maxBucketSize: Int = 0)
+
+  /** the one-pass annotation: lang, quality (+ features), ws token count */
+  def annotate(docs: DataFrame, textCol: String = "text"): DataFrame =
+    TextAnalysis.qualityScore(docs, textCol)
+      .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
+      .withColumn("ws_tokens", TextAnalysis.wsTokenCount(col(textCol)))
+
+  private def filterVerdict(cfg: CurateConfig): Column = {
+    val langBad =
+      if (cfg.langs.isEmpty) lit(false) else !col("lang_pred").isin(cfg.langs: _*)
+    when(langBad, "lang")
+      .when(col("quality") < cfg.minQuality, "quality")
+      .when(col("ws_tokens") < cfg.minTokens || col("ws_tokens") > cfg.maxTokens, "tokens")
+  }
+
+  /** (curated, audit): curated = the input's columns plus the annotation
+    * columns, one row per surviving doc; audit = one row per INPUT doc
+    * with its verdict (and `dup_of` for duplicates).
+    */
+  def curate(docs: DataFrame, cfg: CurateConfig = CurateConfig(),
+             textCol: String = "text", idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    // annotations feed the filter, the audit, and the curated output —
+    // one pass, cached (caller releases via OpCaches.releaseAll())
+    val ann = OpCaches.persist(
+      annotate(docs, textCol).withColumn("__verdict", filterVerdict(cfg)),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val passed = ann.filter(col("__verdict").isNull)
+    // (doc_id, dup_of, kept) for every doc that passed the filters
+    val dd = Dedup.dedupCorpus(passed, textCol, idCol,
+      threshold = cfg.nearDupThreshold, maxBucketSize = cfg.maxBucketSize)
+    val curated = passed
+      .join(dd.filter(col("kept")).select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
+      .drop("__verdict")
+    val audit = ann.select(col(idCol).as("doc_id"), col("__verdict"))
+      .join(dd.select(col("doc_id"), col("dup_of"), col("kept")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__verdict"),
+          when(col("kept"), "kept").otherwise("duplicate")).as("verdict"),
+        when(!coalesce(col("kept"), lit(true)), col("dup_of")).as("dup_of"))
+    (curated, audit)
+  }
+}

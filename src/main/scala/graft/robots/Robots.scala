@@ -188,12 +188,32 @@ object Robots {
       }
   }
 
-  /** Split `frontier` (needs url + host columns) into (allowed, dropped). */
+  private def bestMatchPrepared(rules: Column, path: Column): Column =
+    coalesce(
+      array_max(transform(filter(rules, r => like(path, r("lp"))), r => r("len"))),
+      lit(-1))
+
+  /** Split `frontier` (needs url + host columns) into (allowed, dropped).
+    *
+    * The rule arrays are converted to (likePattern, specificity) structs
+    * ONCE, on the tiny pre-broadcast side — the per-frontier-row work is
+    * then a plain LIKE per rule, not a rebuild of each pattern's
+    * escape/convert chain per row (identical semantics to [[allowedCol]],
+    * which stays as the single-expression API).
+    */
   def partition(frontier: DataFrame, robots: Dataset[RobotsRule]): (DataFrame, DataFrame) = {
+    def prep(c: Column): Column =
+      transform(c, p => struct(toLikePattern(p).as("lp"), length(p).as("len")))
+    val prepared = robots.toDF()
+      .withColumn("__dis", prep(col("disallow")))
+      .withColumn("__alw", prep(col("allow")))
+      .drop("disallow", "allow")
+    val path = UrlFunctions.pathOfUdf(col("url"))
+    val dis = bestMatchPrepared(col("__dis"), path)
+    val alw = bestMatchPrepared(col("__alw"), path)
     val joined = frontier
-      .join(broadcast(robots.toDF()), Seq("host"), "left")
-      .withColumn("__allowed",
-        allowedCol(UrlFunctions.pathOfUdf(col("url")), col("disallow"), col("allow")))
+      .join(broadcast(prepared), Seq("host"), "left")
+      .withColumn("__allowed", col("__dis").isNull || dis === -1 || alw >= dis)
     val keep = frontier.columns.map(col)
     (joined.filter(col("__allowed")).select(keep: _*),
       joined.filter(!col("__allowed")).select(keep: _*))

@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.Curate
+import graft.ops.Curate.CurateConfig
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The end-to-end corpus-curation composition: annotate → filter (lang /
+  * quality / tokens) → exact+near dedup, with the no-silent-row-loss audit
+  * contract — every input doc gets exactly one verdict.
+  */
+class CurateSpec extends AnyFunSuite {
+  import SparkTestBase.spark
+  import spark.implicits._
+
+  private val good = "the cat sat on the mat and it was happy because the sun " +
+    "was warm and the garden was quiet in the morning light for hours today"
+  private val nearGood = good.dropRight(5) + "night" // last word swapped
+  private val german = "der hund und die katze sind nicht auf der couch und das " +
+    "haus ist mit einem garten und die sonne ist warm heute morgen hier"
+  private val short_ = "the of"
+  private val junky = "the.,;:!? and.,;:!? of.,;:!? to.,;:!? in.,;:!? is.,;:!?"
+  private val other = "one two three four five the and of to in a quick brown fox " +
+    "jumps over lazy dogs while seven eight nine ten eleven twelve thirteen"
+
+  test("curate: filter verdicts, dedup verdicts, and the exact-once audit contract") {
+    val docs = Seq(
+      (0L, good), // kept
+      (1L, good), // exact duplicate of 0
+      (2L, nearGood), // near duplicate of 0
+      (3L, german), // dropped: lang
+      (4L, short_), // dropped: tokens (en, decent quality, too short)
+      (5L, junky), // dropped: quality (en, punct-heavy)
+      (6L, other)) // kept
+      .toDF("doc_id", "text")
+    val (curated, audit) = Curate.curate(docs, CurateConfig(langs = Seq("en")))
+
+    val verdicts = audit.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(verdicts.keySet === (0L to 6L).toSet, "every input doc is audited exactly once")
+    assert(verdicts(0L) === ("kept", -1L))
+    assert(verdicts(1L) === ("duplicate", 0L))
+    assert(verdicts(2L) === ("duplicate", 0L))
+    assert(verdicts(3L)._1 === "lang")
+    assert(verdicts(4L)._1 === "tokens")
+    assert(verdicts(5L)._1 === "quality")
+    assert(verdicts(6L) === ("kept", -1L))
+
+    val keptIds = curated.select("doc_id").as[Long].collect().sorted
+    assert(keptIds === Array(0L, 6L))
+    // curated carries the annotations a downstream trainer wants
+    for (c <- Seq("lang_pred", "quality", "ws_tokens"))
+      assert(curated.columns.contains(c), s"curated output must carry $c")
+    // the funnel report is one aggregate over the audit
+    val funnel = audit.groupBy("verdict").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel === Map("kept" -> 2L, "duplicate" -> 2L, "lang" -> 1L,
+      "tokens" -> 1L, "quality" -> 1L))
+    graft.ops.OpCaches.releaseAll()
+  }
+
+  test("curate with empty language allowlist keeps all languages") {
+    val docs = Seq((0L, good), (1L, german)).toDF("doc_id", "text")
+    val (curated, audit) = Curate.curate(docs, CurateConfig(langs = Seq.empty))
+    assert(curated.count() === 2L)
+    assert(audit.filter(col("verdict") === "kept").count() === 2L)
+    graft.ops.OpCaches.releaseAll()
+  }
+}
