@@ -227,6 +227,13 @@ object SparkEntry {
       // (nlist smallest ids) keep it value-oracle-able in DuckDB
       Similarity.ivfTopK(t(s, dir, "embeddings"), dims = 64, k = 5, nlist = 16, nprobe = 2)
         .orderBy("id", "rank")),
+    // the retrieval shape: a query SET against a separate corpus (index
+    // search), vs the self-kNN dedup shape — exact baseline, value-oracled
+    "qd_ann_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.searchTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5)
+        .orderBy("id", "rank")
+    }),
     "qd_langid" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
@@ -332,6 +339,15 @@ object SparkEntry {
          s AS (SELECT a.vec_id AS id, b.vec_id AS nb,
                       list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
                FROM e a, e b WHERE a.vec_id <> b.vec_id),
+         r AS (SELECT id, nb, sim, row_number() OVER (PARTITION BY id ORDER BY sim DESC, nb) AS rk FROM s)
+         SELECT id, rk AS "rank", nb, floor(sim * 1000000 + 0.5) / 1000000 AS sim
+         FROM r WHERE rk <= 5 ORDER BY id, rk""",
+    "qd_ann_search" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+         s AS (SELECT q.vec_id AS id, c.vec_id AS nb,
+                      list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+               FROM q, e c),
          r AS (SELECT id, nb, sim, row_number() OVER (PARTITION BY id ORDER BY sim DESC, nb) AS rk FROM s)
          SELECT id, rk AS "rank", nb, floor(sim * 1000000 + 0.5) / 1000000 AS sim
          FROM r WHERE rk <= 5 ORDER BY id, rk""",

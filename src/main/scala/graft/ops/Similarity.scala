@@ -264,6 +264,35 @@ object Similarity {
     * corpus into one list and go quadratic; dropped lists lose their
     * members' candidates (recall, never precision).
     */
+  /** broadcast-centroid assignment: each (id, v) row gets its `keepTop`
+    * nearest centroids ranked by cosine (the shared primitive of
+    * [[ivfTopK]] and [[ivfSearchTopK]])
+    */
+  private def assignLists(vecs: DataFrame, cents: DataFrame, keepTop: Int): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("v"), col("cv")))
+      .withColumn("__cr", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))))
+      .filter(col("__cr") <= math.max(1, keepTop))
+      .select(col("id"), col("cid"), col("__cr"), col("v"))
+
+  /** probed-lists join + per-list lossless prune + global top-k (the back
+    * half both IVF ops share); `excludeSelf` drops id==nb (self-kNN shape)
+    */
+  private def probeJoinTopK(probes: DataFrame, lists: DataFrame, k: Int,
+                            excludeSelf: Boolean): DataFrame = {
+    val perList = Window.partitionBy(col("id"), col("cid")).orderBy(col("sim").desc, col("nb"))
+    val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("nb"))
+    val joined = probes.join(lists, Seq("cid"))
+    (if (excludeSelf) joined.filter(col("id") =!= col("nb")) else joined)
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("__lr", row_number().over(perList))
+      .filter(col("__lr") <= k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("nb"), TextAnalysis.halfUp(col("sim"), 6).as("sim"))
+  }
+
   def ivfTopK(emb: DataFrame, dims: Int, k: Int = 10, nlist: Int = 16, nprobe: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding",
               centroids: Option[DataFrame] = None,
@@ -276,27 +305,60 @@ object Similarity {
         .select(col(idCol).as("cid"), col(vecCol).as("cv")))
     // consumed twice (lists + probes): one assignment pass, cached
     val assigned = OpCaches.persist(
-      vecs.crossJoin(broadcast(cents))
-        .withColumn("csim", cosine(col("v"), col("cv")))
-        .withColumn("__cr", row_number().over(
-          Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))))
-        .filter(col("__cr") <= math.max(1, nprobe))
-        .select(col("id"), col("cid"), col("__cr"), col("v")),
-      StorageLevel.MEMORY_AND_DISK)
+      assignLists(vecs, cents, nprobe), StorageLevel.MEMORY_AND_DISK)
     val lists = Dedup.capBuckets(
       assigned.filter(col("__cr") === 1).select(col("cid"), col("id").as("nb"), col("v").as("vb")),
       Seq("cid"), maxListSize, onCap)
     val probes = assigned.select(col("id"), col("cid"), col("v").as("va"))
-    val perList = Window.partitionBy(col("id"), col("cid")).orderBy(col("sim").desc, col("nb"))
+    probeJoinTopK(probes, lists, k, excludeSelf = true)
+  }
+
+  /** Exact top-k RETRIEVAL: for every row of `queries`, the k nearest
+    * rows of `corpus` by cosine (queries and corpus are separate tables —
+    * the search-index shape, vs the self-kNN dedup shape). The QUERY side
+    * broadcasts (a query set is small next to a 10^10-row corpus), so the
+    * corpus streams through one map-side nested loop with no shuffle of
+    * corpus vectors; the per-query top-k ranks with a partial
+    * WindowGroupLimit prune before its exchange. Exact — the recall
+    * oracle for [[ivfSearchTopK]], O(|Q|·|C|) cosines.
+    */
+  def searchTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("id"), col(vecCol).as("va"))
+    val c = corpus.select(col(idCol).as("nb"), col(vecCol).as("vb"))
     val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("nb"))
-    probes.join(lists, Seq("cid"))
-      .filter(col("id") =!= col("nb"))
+    c.crossJoin(broadcast(q))
       .withColumn("sim", cosine(col("va"), col("vb")))
-      .withColumn("__lr", row_number().over(perList))
-      .filter(col("__lr") <= k)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id"), col("rank"), col("nb"), TextAnalysis.halfUp(col("sim"), 6).as("sim"))
+  }
+
+  /** IVF retrieval: [[searchTopK]]'s scale path. The corpus is indexed
+    * once (top-1 centroid assignment → inverted lists, loud-capped);
+    * queries probe their `nprobe` nearest lists; exact cosine only within
+    * probed lists — candidate volume ~|Q|·|C|·nprobe/nlist. Pass TRAINED
+    * centroids ([[trainCentroids]] over the corpus) — at `nlist` lists the
+    * default smallest-id centroids have recall only by data-luck.
+    */
+  def ivfSearchTopK(queries: DataFrame, corpus: DataFrame, dims: Int, k: Int = 10,
+                    nlist: Int = 16, nprobe: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    centroids: Option[DataFrame] = None,
+                    maxListSize: Int = 0,
+                    onCap: (Long, Long) => Unit = Dedup.logCap("Similarity.ivfSearchTopK")): DataFrame = {
+    val qv = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cents = centroids
+      .map(c => c.toDF("cid", "cv"))
+      .getOrElse(corpus.orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol).as("cid"), col(vecCol).as("cv")))
+    val lists = Dedup.capBuckets(
+      assignLists(cv, cents, 1).select(col("cid"), col("id").as("nb"), col("v").as("vb")),
+      Seq("cid"), maxListSize, onCap)
+    val probes = assignLists(qv, cents, nprobe)
+      .select(col("id"), col("cid"), col("v").as("va"))
+    probeJoinTopK(probes, lists, k, excludeSelf = false)
   }
 
   /** Approximate NN: bucket by hyperplane signature (optionally multi-probe

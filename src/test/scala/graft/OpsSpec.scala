@@ -92,6 +92,25 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.OpCaches.releaseAll()
   }
 
+  test("searchTopK retrieval: in-corpus queries self-hit at rank 1; ivfSearchTopK recall floor") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.searchTopK(queries, e, k = 5).cache()
+    // a query that IS a corpus row must retrieve itself first (sim 1.0)
+    val rank1 = exact.filter(col("rank") === 1)
+      .select("id", "nb").as[(Long, Long)].collect()
+    assert(rank1.nonEmpty && rank1.forall { case (id, nb) => id == nb },
+      "rank-1 neighbor of an in-corpus query is the query itself")
+    // the IVF scale path with trained centroids recovers most of the exact answer
+    val trained = Similarity.trainCentroids(e, dims = 64, nlist = 8, iters = 3)
+    val r = Similarity.recallAtK(
+      Similarity.ivfSearchTopK(queries, e, dims = 64, k = 5, nlist = 8, nprobe = 2,
+        centroids = Some(trained)), exact)
+    exact.unpersist()
+    assert(r >= 0.4, f"trained-IVF search recall@5 too low: $r%.3f")
+    graft.ops.OpCaches.releaseAll()
+  }
+
   test("embedding near-dup pairs via LSH buckets find identical vectors") {
     val pairs = Similarity.nearDupPairs(embs, dims = 4, threshold = 0.9999)
       .select("a", "b").as[(Long, Long)].collect().toSet

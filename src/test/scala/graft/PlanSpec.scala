@@ -174,6 +174,17 @@ class PlanSpec extends AnyFunSuite {
     graft.ops.OpCaches.releaseAll()
   }
 
+  test("searchTopK: query side broadcasts, corpus streams map-side, rank prunes partially") {
+    val df = SparkEntry.queries("qd_ann_search")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the SMALL query set must broadcast so the corpus never shuffles pre-rank:\n${plan.take(3000)}")
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"per-query top-k must map-side prune the |Q|x|C| stream before its exchange:\n${plan.take(3000)}")
+    graft.ops.OpCaches.releaseAll()
+  }
+
   test("minhash LSH near-dups plan as bucket equi-joins, not cross joins") {
     val df = SparkEntry.queries("qd_dedup_minhash")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
