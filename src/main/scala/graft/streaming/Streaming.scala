@@ -30,6 +30,27 @@ object Streaming {
 
   final case class UrlEvent(host: String, url: String)
 
+  /** Streaming exact content-dedup — the streaming analog of
+    * [[graft.ops.Dedup.exactDedup]]: emits each document the FIRST time
+    * its content is seen, keyed by the same sha-256 content key the batch
+    * pass clusters on (32 bytes of state per distinct content, never the
+    * text). Unbounded state by default (exact forever-dedup); pass
+    * `tsCol` + `watermark` to bound state via
+    * `dropDuplicatesWithinWatermark` — dedup within the watermark horizon,
+    * the standard streaming trade for infinite ingest. Same RocksDB
+    * state-store note as [[streamingSeenFilter]].
+    */
+  def streamingContentDedup(pages: DataFrame, textCol: String = "text",
+                            tsCol: String = "", watermark: String = ""): DataFrame = {
+    val hashed = pages.withColumn("__ch",
+      org.apache.spark.sql.functions.sha2(col(textCol), 256))
+    val dd =
+      if (tsCol.nonEmpty && watermark.nonEmpty)
+        hashed.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark("__ch")
+      else hashed.dropDuplicates("__ch")
+    dd.drop("__ch")
+  }
+
   /** Streaming URL-seen filter: emits each URL the first time it is ever
     * seen. Designed to BOUND per-key state at web scale:
     *

@@ -63,6 +63,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming content-dedup emits first occurrence per sha-256 content, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.streamingContentDedup(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cdedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((0L, "alpha beta"), (1L, "gamma delta"))
+      q.processAllAvailable()
+      // cross-batch duplicate must be suppressed by the content-hash state
+      in.addData((2L, "alpha beta"), (3L, "epsilon zeta"))
+      q.processAllAvailable()
+      val ids = spark.table("cdedup_stream").select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(0L, 1L, 3L),
+        "one emit per distinct content, first occurrence wins across batches")
+    } finally q.stop()
+  }
+
   test("URL-seen filter under the RocksDB state-store provider it requires at scale") {
     // Streaming.scala documents the RocksDB provider as REQUIRED at scale
     // (keeps seen-set shards off-heap/on-disk); this pins that the keyed
