@@ -238,6 +238,12 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
         .orderBy("doc_id")),
+    // token-budget training-shard packing: global greedy prefix-sum
+    // assignment, computed distributed (two-pass scan) — the oracle is the
+    // single-node window cumsum, proving the distributed result identical
+    "qd_pack_shards" -> ((s, dir) =>
+      graft.ops.Curate.packShards(t(s, dir, "documents"), tokensPerShard = 5000)
+        .orderBy("doc_id")),
     // the end-to-end curation composition (annotate -> lang/quality/token
     // filter -> exact+near dedup), checked through its AUDIT: one verdict
     // row per input doc — the no-silent-row-loss contract is value-oracled
@@ -517,6 +523,13 @@ object SparkEntry {
                 CASE WHEN v.fverdict IS NULL AND dd.dup_of <> v.doc_id THEN dd.dup_of ELSE -1 END AS dup_of
          FROM verd v LEFT JOIN dd ON dd.doc_id = v.doc_id
          ORDER BY v.doc_id""",
+    "qd_pack_shards" ->
+      """WITH t AS (SELECT doc_id, length(string_split(trim(text), ' '))::BIGINT AS n_tokens FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+                      sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS s
+               FROM t)
+         SELECT doc_id, n_tokens, (s - n_tokens) // 5000 AS shard
+         FROM c ORDER BY doc_id""",
     "qd_fingerprint" ->
       // lower() mirrors the UDF's toLowerCase; the LEFT JOIN keeps docs
       // shorter than k+window-1 (empty fingerprint) as n_fp=0 rows, exactly

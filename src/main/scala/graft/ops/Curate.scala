@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation — the composition a training-data pipeline
@@ -53,6 +54,58 @@ object Curate {
     when(langBad, "lang")
       .when(col("quality") < cfg.minQuality, "quality")
       .when(col("ws_tokens") < cfg.minTokens || col("ws_tokens") > cfg.maxTokens, "tokens")
+  }
+
+  /** Token-budget shard packing — assign docs to fixed-token-budget
+    * training shards: docs in `idCol` order pack greedily, each doc going
+    * to the shard its cumulative-token START offset falls in
+    * (shard = floor(exclusive-prefix-sum / tokensPerShard); a doc larger
+    * than the budget overflows its own shard rather than splitting).
+    *
+    * Scale shape: a global prefix sum WITHOUT a single-partition window —
+    * the classic two-pass scan as DataFrames: range-repartition by id,
+    * per-partition cumsum (window keyed on the partition id — rows
+    * shuffle once on a 4-byte key), plus broadcast per-partition offsets
+    * (one row per partition, exclusive-prefix-summed on the driver).
+    * The partition-id column is computed once on a cached frame so both
+    * passes see identical partitioning; the OUTPUT depends only on the
+    * global id order, never on where partition boundaries fell.
+    *
+    * Returns (doc_id, n_tokens, shard), one row per input doc.
+    */
+  def packShards(docs: DataFrame, tokensPerShard: Long,
+                 textCol: String = "text", idCol: String = "doc_id",
+                 partitions: Int = 0): DataFrame = {
+    require(tokensPerShard > 0, "tokensPerShard must be positive")
+    val spark = docs.sparkSession
+    val nParts = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val ranged = OpCaches.persist(
+      toks.repartitionByRange(nParts, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .withColumn("__pid", spark_partition_id()),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-partition totals -> driver exclusive prefix (one row per
+    // partition; range partitions are ordered by construction)
+    val totals = ranged.groupBy(col("__pid")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val exclusive = totals.map(_._2).scanLeft(0L)(_ + _).init
+    val offsetRows = totals.map(_._1).zip(exclusive)
+    import spark.implicits._
+    val offsetsDf = offsetRows.toSeq.toDF("__pid", "__off")
+    // pass 2: partition-local cumsum + the broadcast per-partition offset;
+    // integer arithmetic throughout (token sums overflow double precision
+    // long before they overflow a long)
+    val w = Window.partitionBy(col("__pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .join(broadcast(offsetsDf), Seq("__pid"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w) + col("__off"))
+      .withColumn("__start", col("__cum") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"__start div ${tokensPerShard}L").as("shard"))
   }
 
   /** (curated, audit): curated = the input's columns plus the annotation

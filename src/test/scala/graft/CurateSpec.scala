@@ -59,6 +59,26 @@ class CurateSpec extends AnyFunSuite {
     graft.ops.OpCaches.releaseAll()
   }
 
+  test("packShards: greedy token-budget packing, invariant under partition count") {
+    // 6 docs of 4 tokens each, budget 10: start offsets 0,4,8,12,16,20 ->
+    // shards 0,0,0,1,1,2
+    val docs = (0L to 5L).map(i => (i, "tok tok tok tok")).toDF("doc_id", "text")
+    val expected = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 2L))
+    for (parts <- Seq(1, 3, 7)) {
+      val out = Curate.packShards(docs, tokensPerShard = 10, partitions = parts)
+        .select("doc_id", "shard").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(out === expected, s"partitions=$parts must not change the packing")
+      graft.ops.OpCaches.releaseAll()
+    }
+    // an oversized doc overflows its own shard; the next doc starts fresh
+    val big = Seq((0L, ("t " * 25).trim), (1L, "a b c")).toDF("doc_id", "text")
+    val out2 = Curate.packShards(big, tokensPerShard = 10, partitions = 2)
+      .select("doc_id", "shard").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out2 === Seq((0L, 0L), (1L, 2L)),
+      "doc 0 spans shards 0-2 by size; doc 1 starts at offset 25 -> shard 2")
+    graft.ops.OpCaches.releaseAll()
+  }
+
   test("curate with empty language allowlist keeps all languages") {
     val docs = Seq((0L, good), (1L, german)).toDF("doc_id", "text")
     val (curated, audit) = Curate.curate(docs, CurateConfig(langs = Seq.empty))
