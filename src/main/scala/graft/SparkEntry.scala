@@ -260,6 +260,11 @@ object SparkEntry {
       TextAnalysis.qualityScore(t(s, dir, "documents"))
         .select("doc_id", "n_words", "punct_ratio", "stopword_ratio", "mean_word_len", "quality")
         .orderBy("doc_id")),
+    // Gopher/C4-style repetition signals: most-frequent-word share and
+    // vocabulary richness per doc (explode -> two hash-aggregates)
+    "qd_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionFeatures(t(s, dir, "documents"))
+        .orderBy("doc_id")),
     "qd_token_count" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -523,6 +528,14 @@ object SparkEntry {
                 CASE WHEN v.fverdict IS NULL AND dd.dup_of <> v.doc_id THEN dd.dup_of ELSE -1 END AS dup_of
          FROM verd v LEFT JOIN dd ON dd.doc_id = v.doc_id
          ORDER BY v.doc_id""",
+    "qd_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM documents),
+         c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+         a AS (SELECT doc_id, max(c) AS top, sum(c) AS n, count(*) AS d FROM c GROUP BY doc_id)
+         SELECT doc_id,
+                floor(top / n * 10000.0 + 0.5) / 10000.0 AS top_word_share,
+                floor(d / n * 10000.0 + 0.5) / 10000.0 AS distinct_word_ratio
+         FROM a ORDER BY doc_id""",
     "qd_pack_shards" ->
       """WITH t AS (SELECT doc_id, length(string_split(trim(text), ' '))::BIGINT AS n_tokens FROM documents),
          c AS (SELECT doc_id, n_tokens,

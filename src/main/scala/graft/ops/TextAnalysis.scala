@@ -84,6 +84,30 @@ object TextAnalysis {
           least(lit(1.0), col("stopword_ratio") * 4) * 0.2 +
           (lit(1.0) - least(lit(1.0), abs(col("mean_word_len") - 5.0) / 5.0)) * 0.2))
 
+  // ---------- repetition features (Gopher/C4-style quality signals) ----------
+
+  /** Per-doc repetition features over whitespace tokens:
+    * `top_word_share` (count of the most frequent word / total words — the
+    * boilerplate/spam signal) and `distinct_word_ratio` (vocabulary
+    * richness). Shaped as explode → (doc, word) hash-aggregate →
+    * (doc) hash-aggregate: two map-side-combining shuffles on (id, word)
+    * / id keys, no window, no UDF — scales as any word-count job. Word
+    * ties on count break toward the lexicographically smallest word
+    * (irrelevant to the share value itself, which is what's exposed).
+    */
+  def repetitionFeatures(docs: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(filter(split(col(textCol), "\\s+"), w => w =!= "")).as("w"))
+    words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("__top"), sum(col("c")).as("__n"),
+        count(lit(1)).as("__distinct"))
+      .select(col("doc_id"),
+        r4(col("__top").cast("double") / col("__n")).as("top_word_share"),
+        r4(col("__distinct").cast("double") / col("__n")).as("distinct_word_ratio"))
+  }
+
   // ---------- token counting ----------
 
   /** whitespace token count (codegen) */

@@ -131,6 +131,16 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition features: top-word share flags boilerplate, distinct ratio flags richness") {
+    val docs = Seq(
+      (0L, "spam spam spam buy"), // top 3/4, distinct 2/4
+      (1L, "one two three four")) // top 1/4, distinct 4/4
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionFeatures(docs).orderBy("doc_id")
+      .as[(Long, Double, Double)].collect()
+    assert(out === Array((0L, 0.75, 0.5), (1L, 0.25, 1.0)))
+  }
+
   test("token counts and quality are sane") {
     val r = TextAnalysis.qualityScore(Seq((0L, "the cat sat. the dog ran!")).toDF("doc_id", "text"))
       .select("n_words", "punct_ratio", "quality").collect()(0)
