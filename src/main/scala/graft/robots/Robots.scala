@@ -96,25 +96,45 @@ object Robots {
         "collapse to one rule per host (reference semantics: last rule wins)")
   }
 
+  private final case class RuleGroup(agents: Vector[String], dis: Vector[String],
+                                     alw: Vector[String], delayMs: Long)
+
   /** Parse ONE robots.txt body into the engine's [[RobotsRule]] model
-    * (REP / RFC 9309, matching what the broadcast filter evaluates): the
-    * `User-agent: *` group's Disallow/Allow path patterns (stored verbatim —
+    * (REP / RFC 9309, matching what the broadcast filter evaluates):
+    * the selected group's Disallow/Allow path patterns (stored verbatim —
     * `*`/trailing-`$` wildcards are interpreted by the MATCHERS, see
     * [[patternMatches]]/[[allowedCol]]) plus Crawl-delay (seconds,
-    * fractional ok → ms). Consecutive
-    * User-agent lines share a group; keys are case-insensitive; `#`
-    * comments strip; an EMPTY `Disallow:` value means allow-all and adds
-    * no prefix; an unparseable or missing `*` group yields the permissive
-    * empty rule. Agent-specific groups are ignored by design — the engine
-    * crawls as one agent and the rule model is per-host, exactly what the
-    * reference's broadcast-table contract (BASELINE.json:6) materializes.
+    * fractional ok → ms). Consecutive User-agent lines share a group;
+    * keys are case-insensitive; `#` comments strip; an EMPTY `Disallow:`
+    * value means allow-all and adds no prefix; an unparseable body or no
+    * applicable group yields the permissive empty rule.
+    *
+    * GROUP SELECTION (RFC 9309 §2.2.1): with the default `agent = ""` the
+    * engine crawls as an anonymous agent and only `User-agent: *` groups
+    * apply — the per-host broadcast-rule model the reference contract
+    * (BASELINE.json:6) materializes. Pass the crawler's product token as
+    * `agent` to honor agent-specific groups: a group's UA token matches
+    * when it is a case-insensitive prefix of the product token, the
+    * LONGEST matching token wins (the reference implementations'
+    * most-specific-group rule), every group carrying a winning token
+    * merges in document order, and `*` groups apply only when no named
+    * token matches at all.
     */
-  def parseRobotsTxt(host: String, text: String): RobotsRule = {
-    var inStar = false
-    var agentRun = false // consecutive User-agent lines extend one group
-    val dis = Vector.newBuilder[String]
-    val alw = Vector.newBuilder[String]
+  def parseRobotsTxt(host: String, text: String, agent: String = ""): RobotsRule = {
+    // pass 1: the document as UA-token groups
+    val groups = Vector.newBuilder[RuleGroup]
+    var agents = Vector.newBuilder[String]
+    var dis = Vector.newBuilder[String]
+    var alw = Vector.newBuilder[String]
     var delayMs = 0L
+    var agentRun = false // consecutive User-agent lines extend one group
+    var open = false
+    def closeGroup(): Unit = if (open) {
+      groups += RuleGroup(agents.result(), dis.result(), alw.result(), delayMs)
+      agents = Vector.newBuilder[String]; dis = Vector.newBuilder[String]
+      alw = Vector.newBuilder[String]; delayMs = 0L
+      open = false
+    }
     if (text != null) for (raw <- text.linesIterator) {
       val line = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }.trim
       val c = line.indexOf(':')
@@ -123,12 +143,13 @@ object Robots {
         val value = line.substring(c + 1).trim
         key match {
           case "user-agent" =>
-            if (!agentRun) inStar = false // a NEW group starts; reset membership
-            if (value == "*") inStar = true
+            if (!agentRun) closeGroup() // a NEW group starts
+            agents += value
             agentRun = true
+            open = true
           case _ =>
             agentRun = false
-            if (inStar) key match {
+            if (open) key match {
               case "disallow" => if (value.nonEmpty) dis += value
               case "allow" => if (value.nonEmpty) alw += value
               case "crawl-delay" =>
@@ -139,7 +160,21 @@ object Robots {
         }
       }
     }
-    RobotsRule(host, dis.result(), alw.result(), delayMs)
+    closeGroup()
+    // pass 2: group selection
+    val all = groups.result()
+    val a = agent.trim.toLowerCase
+    val bestLen =
+      if (a.isEmpty) 0
+      else all.iterator.flatMap(_.agents).map(_.toLowerCase)
+        .filter(t => t.nonEmpty && t != "*" && a.startsWith(t))
+        .map(_.length).maxOption.getOrElse(0)
+    val chosen =
+      if (bestLen > 0)
+        all.filter(_.agents.exists(t => t.length == bestLen && a.startsWith(t.toLowerCase)))
+      else all.filter(_.agents.contains("*"))
+    val mergedDelay = chosen.foldLeft(0L)((acc, g) => if (g.delayMs > 0) g.delayMs else acc)
+    RobotsRule(host, chosen.flatMap(_.dis), chosen.flatMap(_.alw), mergedDelay)
   }
 
   /** Distributed materialization: (host, robots_txt) rows → the broadcast
@@ -147,12 +182,12 @@ object Robots {
     * `http://host/robots.txt` (or a WARC archive's robots captures).
     */
   def fromTexts(robotsTxt: DataFrame, hostCol: String = "host",
-                textCol: String = "robots_txt"): Dataset[RobotsRule] = {
+                textCol: String = "robots_txt", agent: String = ""): Dataset[RobotsRule] = {
     val spark = robotsTxt.sparkSession
     import spark.implicits._
     robotsTxt.select(col(hostCol).cast("string"), col(textCol).cast("string"))
       .as[(String, String)]
-      .map { case (h, t) => parseRobotsTxt(h, t) }
+      .map { case (h, t) => parseRobotsTxt(h, t, agent) }
   }
 
   /** Derive the rules table from the page store's own `/robots.txt`
@@ -171,7 +206,8 @@ object Robots {
     * decode as UTF-8 with replacement (RFC 9309 §2.3 mandates UTF-8; a
     * malformed byte must not fail ingestion).
     */
-  def fromPages(pages: DataFrame, urlCol: String = "url", bodyCol: String = "html"): Dataset[RobotsRule] = {
+  def fromPages(pages: DataFrame, urlCol: String = "url", bodyCol: String = "html",
+                agent: String = ""): Dataset[RobotsRule] = {
     val spark = pages.sparkSession
     import spark.implicits._
     pages
@@ -184,7 +220,8 @@ object Robots {
       .as[(String, Array[Byte])]
       .map { case (h, b) =>
         parseRobotsTxt(h,
-          if (b == null) null else new String(b, java.nio.charset.StandardCharsets.UTF_8))
+          if (b == null) null else new String(b, java.nio.charset.StandardCharsets.UTF_8),
+          agent)
       }
   }
 

@@ -43,6 +43,36 @@ class RobotsTxtSpec extends AnyFunSuite {
     assert(r.disallow === Seq("/x"), "agent-b's rules must not leak into the * group")
   }
 
+  test("agent-specific groups: longest matching token wins, * is the fallback (RFC 9309 §2.2.1)") {
+    val txt =
+      """User-agent: graftbot-images
+        |Disallow: /img
+        |
+        |User-agent: graftbot
+        |Disallow: /g
+        |Crawl-delay: 2
+        |
+        |User-agent: *
+        |Disallow: /all
+        |""".stripMargin
+    // most specific named token wins over both the shorter token and *
+    assert(Robots.parseRobotsTxt("h.test", txt, agent = "graftbot-images") ===
+      RobotsRule("h.test", Seq("/img"), Seq.empty, 0L))
+    // shorter product token only matches its own group
+    assert(Robots.parseRobotsTxt("h.test", txt, agent = "GraftBot") ===
+      RobotsRule("h.test", Seq("/g"), Seq.empty, 2000L))
+    // unknown agent falls back to the * group
+    assert(Robots.parseRobotsTxt("h.test", txt, agent = "otherbot") ===
+      RobotsRule("h.test", Seq("/all"), Seq.empty, 0L))
+    // the default anonymous engine posture: * only
+    assert(Robots.parseRobotsTxt("h.test", txt) ===
+      RobotsRule("h.test", Seq("/all"), Seq.empty, 0L))
+    // two groups naming the SAME winning token merge in document order
+    val merged = "User-agent: bot\nDisallow: /a\n\nUser-agent: bot\nDisallow: /b\n"
+    assert(Robots.parseRobotsTxt("h.test", merged, agent = "bot") ===
+      RobotsRule("h.test", Seq("/a", "/b"), Seq.empty, 0L))
+  }
+
   test("empty Disallow means allow-all; missing * group is the permissive empty rule") {
     assert(Robots.parseRobotsTxt("h.test", "User-agent: *\nDisallow:\n") ===
       RobotsRule("h.test", Seq.empty, Seq.empty, 0L))
