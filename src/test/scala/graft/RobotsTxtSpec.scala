@@ -172,6 +172,30 @@ class RobotsTxtSpec extends AnyFunSuite {
     }
   }
 
+  test("property sweep: Column LIKE matcher == pure matcher over 2000 random pattern/path pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic pseudo-random generator (no Random: reproducible runs);
+    // alphabet deliberately includes every LIKE metachar and the robots
+    // wildcards so escaping bugs cannot hide
+    val alphabet = "ab/*$_%\\."
+    var seed = 0x9E3779B97F4A7C15L
+    def nextInt(n: Int): Int = {
+      seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
+      (((seed >>> 1) % n).toInt + n) % n
+    }
+    def randStr(maxLen: Int): String =
+      (0 until (1 + nextInt(maxLen))).map(_ => alphabet(nextInt(alphabet.length))).mkString
+    val rows = (0 until 2000).map(_ => (randStr(8), "/" + randStr(10)))
+    val got = rows.toDF("pattern", "path")
+      .withColumn("m",
+        !Robots.allowedCol(col("path"), array(col("pattern")), typedLit(Array.empty[String])))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    for ((p, u) <- rows)
+      assert(got((p, u)) === Robots.patternMatches(p, u),
+        s"matchers disagree on pattern='$p' path='$u'")
+  }
+
   test("longest-match specificity: allow wins at >= specificity, wildcard lengths count") {
     import spark.implicits._
     val rules = Seq(graft.model.RobotsRule("h.test", Seq("/*.php$"), Seq("/ok/*.php$"), 0L))
