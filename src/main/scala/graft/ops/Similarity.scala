@@ -48,25 +48,21 @@ object Similarity {
 
   /** deterministic pseudo-random hyperplane component (splitmix64 → [-1,1));
     * private[graft] so SparkEntry can emit the identical constants into the
-    * generated DuckDB oracle SQL
+    * generated DuckDB oracle SQL. Delegates to the single source in
+    * [[graft.functions.HyperplaneSigFns]] — the same constants the fused
+    * codegen signature evaluates.
     */
-  private[graft] def hyperplane(seed: Long, plane: Int, dim: Int): Double = {
-    var z = seed + plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L
-    z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
-    z ^= z >>> 27; z *= 0x94D049BB133111EBL
-    z ^= z >>> 31
-    (z.toDouble / Long.MaxValue.toDouble)
-  }
+  private[graft] def hyperplane(seed: Long, plane: Int, dim: Int): Double =
+    graft.functions.HyperplaneSigFns.planeComponent(seed, plane, dim)
 
-  /** sign-bit signature under `nPlanes` fixed hyperplanes -> a long bucket key */
-  def lshBucket(vec: Column, dims: Int, nPlanes: Int = 12, seed: Long = 42L): Column = {
-    val vd = vec.cast("array<double>")
-    val bits = (0 until nPlanes).map { p =>
-      val plane = array((0 until dims).map(d => lit(hyperplane(seed, p, d))): _*)
-      when(dot(vd, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Sign-bit signature under `nPlanes` fixed hyperplanes → a long bucket
+    * key. One fused codegen pass ([[graft.functions.HyperplaneSig]]) — the
+    * nPlanes-separate-DotProduct formulation it replaces is bit-identical
+    * (same per-plane d-ascending accumulation) but pays nPlanes× the
+    * expression overhead per row.
+    */
+  def lshBucket(vec: Column, dims: Int, nPlanes: Int = 12, seed: Long = 42L): Column =
+    graft.functions.HyperplaneSig.hyperplane_sig(vec.cast("array<double>"), dims, nPlanes, seed)
 
   /** (id, t, bkt) bucket keys under `tables` independent sign families —
     * 24-byte rows; the vectors themselves stay OUT of the bucket join

@@ -178,6 +178,23 @@ class OpsSpec extends AnyFunSuite {
     assert(fr.nonEmpty && fr.head === 0)
   }
 
+  test("fused HyperplaneSig is bit-identical to the composed per-plane DotProduct formulation") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dims = 64; val nPlanes = 7
+    for (seed <- Seq(42L, 43L, 49L)) {
+      val vd = col("embedding").cast("array<double>")
+      val composed = (0 until nPlanes).map { p =>
+        val plane = array((0 until dims).map(d =>
+          lit(graft.functions.HyperplaneSigFns.planeComponent(seed, p, d))): _*)
+        when(graft.functions.DotProduct.dot_product(vd, plane) >= 0, lit(1L << p))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      val fused = Similarity.lshBucket(col("embedding"), dims, nPlanes, seed)
+      val diff = e.select(fused.as("f"), composed.as("c")).filter(col("f") =!= col("c")).count()
+      assert(diff === 0L, s"seed $seed: fused and composed signatures diverge")
+    }
+  }
+
   test("custom DotProduct expression matches HOF formulation bit-for-bit") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
     val custom = df.select(graft.functions.DotProduct.dot_product(col("a"), col("b"))).as[Double].head()
