@@ -240,39 +240,16 @@ object Dedup {
 
   // ---------- simhash ----------
 
-  /** 64-bit SimHash over whitespace tokens. A Scala UDF (bit-counting loop);
-    * cheap relative to the shuffle it feeds, upgrade to a codegen Expression
-    * only if profiled hot.
+  /** 64-bit SimHash over whitespace tokens — a codegen Expression
+    * ([[graft.functions.SimHash64]]; the UDF it replaced paid ScalaUDF
+    * conversion plus per-token String allocation).
     *
     * Token hash = low 64 bits of MD5 (digest bytes 8..15, little-endian) —
     * chosen because it is exactly reproducible in the DuckDB oracle
     * (`md5_number_lower`), so the whole simhash pipeline is SQL-checkable
     * end to end, unlike a JVM-private mixing chain.
     */
-  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
-  val simhash64 = udf { (text: String) =>
-    if (text == null) 0L
-    else {
-      val md = md5Local.get()
-      val counts = new Array[Int](64)
-      for (tok <- text.split("\\s+") if tok.nonEmpty) {
-        val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        var h = 0L
-        var j = 15
-        while (j >= 8) { h = (h << 8) | (d(j) & 0xFFL); j -= 1 }
-        var i = 0
-        while (i < 64) { counts(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
-      }
-      var out = 0L
-      var i = 0
-      while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
-      out
-    }
-  }
+  def simhash64(text: Column): Column = graft.functions.SimHash.simhash64(text)
 
   /** SimHash near-dup pairs: band the 64 bits into 4×16-bit keys (any pair
     * within hamming distance <= 3 shares at least one band — pigeonhole),
