@@ -79,6 +79,21 @@ class CurateSpec extends AnyFunSuite {
     graft.ops.OpCaches.releaseAll()
   }
 
+  test("degenerate inputs: all-filtered corpus and empty packing input stay well-formed") {
+    // every doc fails the language filter -> dedup runs on an empty frame;
+    // the audit must still cover every input with its filter verdict
+    val docs = Seq((0L, german), (1L, german + " zz")).toDF("doc_id", "text")
+    val (curated, audit) = Curate.curate(docs, CurateConfig(langs = Seq("en")))
+    assert(curated.count() === 0L)
+    val verdicts = audit.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdicts === Map(0L -> "lang", 1L -> "lang"))
+    graft.ops.OpCaches.releaseAll()
+
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Curate.packShards(empty, tokensPerShard = 10).count() === 0L)
+    graft.ops.OpCaches.releaseAll()
+  }
+
   test("curate with empty language allowlist keeps all languages") {
     val docs = Seq((0L, good), (1L, german)).toDF("doc_id", "text")
     val (curated, audit) = Curate.curate(docs, CurateConfig(langs = Seq.empty))
