@@ -39,10 +39,11 @@ object Multimodal {
   /** Real decode for the formats a pure JVM handles without external codec
     * libraries — PNG and JPEG via `javax.imageio` (the two formats that
     * dominate real web corpora; full pixel decode, pure JVM, headless-safe),
-    * plus hand-parsed BMP (BITMAPINFOHEADER) and RIFF/WAVE headers. Field
-    * mapping into the generic [[MediaMeta]] envelope:
-    *   - PNG/JPEG/BMP: width/height = pixel dimensions (BMP abs: negative
-    *     height means top-down row order), n_frames = 1, format = "img".
+    * plus hand-parsed GIF, BMP (BITMAPINFOHEADER) and RIFF/WAVE headers.
+    * Field mapping into the generic [[MediaMeta]] envelope:
+    *   - PNG/JPEG/GIF/BMP: width/height = pixel dimensions (GIF: the
+    *     logical-screen canvas; BMP abs: negative height means top-down
+    *     row order), n_frames = 1, format = "img".
     *   - WAV:  width = sample rate (Hz), height = bits per sample,
     *     n_frames = sample-frame count (data bytes / block align),
     *     format = "audio".
@@ -54,8 +55,20 @@ object Multimodal {
     * caller chooses lenient handling at the pipeline level, not here. The
     * Spark-side plumbing ([[decodeBatch]]) is identical either way.
     */
+  private def isGif(p: Array[Byte]): Boolean =
+    p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8' &&
+      (p(4) == '7' || p(4) == '9') && p(5) == 'a'
+
   def realDecode(docId: Long, payload: Array[Byte]): MediaMeta =
-    if (isPng(payload) || isJpeg(payload)) {
+    if (isGif(payload)) {
+      // GIF87a/89a logical-screen descriptor: u16-LE canvas size at bytes
+      // 6-9 (header-only — no pixel decode needed for the metadata
+      // envelope; animated GIFs report the canvas, n_frames stays 1 at
+      // this layer since frame counting requires a full block walk)
+      MediaMeta(docId, payload.length,
+        width = u16le(payload, 6), height = u16le(payload, 8),
+        n_frames = 1, format = "img")
+    } else if (isPng(payload) || isJpeg(payload)) {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         catch {
@@ -94,7 +107,7 @@ object Multimodal {
         n_frames = if (blockAlign > 0) (dataLen / blockAlign).toInt else 0, format = "audio")
     } else
       throw new UnsupportedOperationException(
-        "realDecode handles PNG, JPEG (javax.imageio), BMP, and WAV; " +
+        "realDecode handles PNG, JPEG (javax.imageio), GIF, BMP, and WAV; " +
           "video/compressed-audio codecs require libraries not present in this sandbox")
 
   /** Deterministic fake decode — pure arithmetic on the payload length, so

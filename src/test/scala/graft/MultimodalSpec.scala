@@ -91,6 +91,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert((m.width, m.height, m.format) === (12, 9, "img"))
   }
 
+  test("GIF logical-screen descriptor: canvas dimensions from real encoder bytes") {
+    // round-trip through the JDK's GIF writer for realism, plus a
+    // hand-built header pinning the u16-LE field layout
+    val img = new java.awt.image.BufferedImage(11, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", baos), "JDK GIF writer present")
+    val m = Multimodal.realDecode(13L, baos.toByteArray)
+    assert((m.width, m.height, m.format) === (11, 6, "img"))
+    val hand = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x34, 0x12, 0x78, 0x56) ++ Array.fill[Byte](6)(0) // 0x1234 x 0x5678
+    val h = Multimodal.realDecode(14L, hand)
+    assert((h.width, h.height) === (0x1234, 0x5678))
+  }
+
   test("truncated PNG fails loudly, never a silent half-decode") {
     val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val baos = new java.io.ByteArrayOutputStream()
