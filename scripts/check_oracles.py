@@ -34,8 +34,15 @@ for name in sorted(oracle):
     sp2 = sp.sort_values(list(sp.columns)).reset_index(drop=True)
     du2 = du.sort_values(list(du.columns)).reset_index(drop=True)
     mismatch = None
+    dtype_hazard = None
     for c in sp.columns:
         a, b = sp2[c], du2[c]
+        # the DRIVER's hash is type-sensitive: a DuckDB HUGEINT/DECIMAL
+        # column lands in pandas as dtype=object and hash-mismatches even
+        # when every value is equal (bit us in r5: qd_pack_shards). Flag it
+        # here so the oracle gets a ::BIGINT cast before the driver runs.
+        if b.dtype == object and a.dtype != object and dtype_hazard is None:
+            dtype_hazard = (c, str(a.dtype), str(b.dtype))
         try:
             a = a.astype(b.dtype)
         except Exception:
@@ -46,6 +53,10 @@ for name in sorted(oracle):
             mismatch = (c, i, a[i], b[i]); break
     if mismatch:
         print(f'FAIL {name}: col={mismatch[0]} row={mismatch[1]} spark={mismatch[2]!r} duck={mismatch[3]!r}')
+        fail += 1
+    elif dtype_hazard:
+        print(f'FAIL {name}: dtype hazard col={dtype_hazard[0]} spark={dtype_hazard[1]} duck={dtype_hazard[2]} '
+              f'(values equal but driver hash is type-sensitive — cast the oracle column)')
         fail += 1
     else:
         print(f'OK   {name} ({len(sp)} rows)')

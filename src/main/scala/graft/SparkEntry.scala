@@ -234,6 +234,15 @@ object SparkEntry {
       Similarity.searchTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5)
         .orderBy("id", "rank")
     }),
+    // the retrieval SCALE path: map-side IVF list assignment (fused
+    // IvfAssign expression — corpus never shuffles pre-rank), broadcast
+    // query probes; default deterministic centroids keep it value-oracled
+    "qd_ann_search_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfSearchTopK(e.filter(col("vec_id") % 50 === 0), e,
+        dims = 64, k = 5, nlist = 16, nprobe = 2)
+        .orderBy("id", "rank")
+    }),
     "qd_langid" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
@@ -360,6 +369,31 @@ object SparkEntry {
                       list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
                FROM q, e c),
          r AS (SELECT id, nb, sim, row_number() OVER (PARTITION BY id ORDER BY sim DESC, nb) AS rk FROM s)
+         SELECT id, rk AS "rank", nb, floor(sim * 1000000 + 0.5) / 1000000 AS sim
+         FROM r WHERE rk <= 5 ORDER BY id, rk""",
+    "qd_ann_search_ivf" ->
+      // mirrors the engine exactly: inverted lists = top-1 centroid by
+      // (cosine DESC, cid ASC) vs the 16 smallest-id corpus vectors, query
+      // probes = top-2 lists, exact cosine within probed lists, self kept
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+         ca AS (SELECT e.vec_id AS id, c.cid, e.v,
+                       list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS csim
+                FROM e, c),
+         lists AS (SELECT cid, id AS nb, v AS vb
+                   FROM (SELECT id, cid, v, row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS cr FROM ca) t
+                   WHERE cr = 1),
+         q AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
+         qa AS (SELECT q.vec_id AS id, c.cid, q.v,
+                       list_dot_product(q.v, c.cv) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS csim
+                FROM q, c),
+         probes AS (SELECT id, cid, v AS va
+                    FROM (SELECT id, cid, v, row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS cr FROM qa) t
+                    WHERE cr <= 2),
+         cand AS (SELECT p.id, l.nb,
+                         list_dot_product(p.va, l.vb) / (sqrt(list_dot_product(p.va, p.va)) * sqrt(list_dot_product(l.vb, l.vb))) AS sim
+                  FROM probes p JOIN lists l USING (cid)),
+         r AS (SELECT id, nb, sim, row_number() OVER (PARTITION BY id ORDER BY sim DESC, nb) AS rk FROM cand)
          SELECT id, rk AS "rank", nb, floor(sim * 1000000 + 0.5) / 1000000 AS sim
          FROM r WHERE rk <= 5 ORDER BY id, rk""",
     "qd_ann_lsh" -> annOracleSql(dims = 64, nPlanes = 7, tables = 8, k = 5),
@@ -541,7 +575,7 @@ object SparkEntry {
          c AS (SELECT doc_id, n_tokens,
                       sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS s
                FROM t)
-         SELECT doc_id, n_tokens, (s - n_tokens) // 5000 AS shard
+         SELECT doc_id, n_tokens, ((s - n_tokens) // 5000)::BIGINT AS shard
          FROM c ORDER BY doc_id""",
     "qd_fingerprint" ->
       // lower() mirrors the UDF's toLowerCase; the LEFT JOIN keeps docs

@@ -52,7 +52,10 @@ private[graft] object CapStats {
   def observed(hot: DataFrame, keyCols: Seq[String], onCap: (Long, Long) => Unit): DataFrame = {
     val spark = hot.sparkSession
     val id = nextId.incrementAndGet()
-    val tag = s"graft_cap_$id"
+    // trailing "_" makes the tag self-delimiting: "graft_cap_1_" is never a
+    // substring of "graft_cap_12_", so double-digit ids can't cross-fire a
+    // sibling op's pending accumulator (ADVICE r5)
+    val tag = s"graft_cap_${id}_"
     val acc = spark.sparkContext.collectionAccumulator[(Long, Long)](tag)
     pending.put(id, Pending(tag, acc, onCap))
     ensureListener(spark)

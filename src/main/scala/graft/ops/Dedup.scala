@@ -254,14 +254,25 @@ object Dedup {
   /** SimHash near-dup pairs: band the 64 bits into 4×16-bit keys (any pair
     * within hamming distance <= 3 shares at least one band — pigeonhole),
     * bucket-join, verify exact hamming distance.
+    *
+    * `maxBucketSize`/`onCap` is the same loud hot-bucket guard every other
+    * LSH family routes through ([[capBuckets]]): a boilerplate-heavy corpus
+    * co-buckets its identical cluster in ALL 4 bands and the join goes
+    * quadratic; dropped bands lose their pairs (recall, never precision) and
+    * are accounted via `onCap`. <= 0 = off. Composing exact-dedup first
+    * ([[dedupCorpus]]) remains the primary defense.
     */
   def simhashNearDups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3,
+                      maxBucketSize: Int = 0,
+                      onCap: (Long, Long) => Unit = logCap("simhashNearDups")): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = capBuckets(
+      sigs.select(col("id"), col("sig"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+        .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key")),
+      Seq("band", "key"), maxBucketSize, onCap)
     val l = banded.select(col("band"), col("key"), col("id").as("a"), col("sig").as("siga"))
     val r = banded.select(col("band"), col("key"), col("id").as("b"), col("sig").as("sigb"))
     l.join(r, Seq("band", "key"))

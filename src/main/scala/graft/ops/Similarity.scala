@@ -336,6 +336,16 @@ object Similarity {
     * probed lists — candidate volume ~|Q|·|C|·nprobe/nlist. Pass TRAINED
     * centroids ([[trainCentroids]] over the corpus) — at `nlist` lists the
     * default smallest-id centroids have recall only by data-luck.
+    *
+    * Scale shape — the corpus side NEVER shuffles pre-rank: list assignment
+    * is the fused map-side [[graft.functions.IvfAssign]] expression (the
+    * window formulation would Exchange every corpus VECTOR on id just to
+    * pick its argmax), the probes side BROADCASTS into the candidate join
+    * (|Q| ≪ |C| is the retrieval contract, same as [[searchTopK]]), and the
+    * per-(query, list) lossless prune bounds what crosses the first
+    * corpus-touching Exchange to k candidate triples per group per task.
+    * Centroid driver materialization is nlist×dims doubles — the same
+    * bounded budget [[trainCentroids]] spends per iteration.
     */
   def ivfSearchTopK(queries: DataFrame, corpus: DataFrame, dims: Int, k: Int = 10,
                     nlist: Int = 16, nprobe: Int = 2,
@@ -345,16 +355,24 @@ object Similarity {
                     onCap: (Long, Long) => Unit = Dedup.logCap("Similarity.ivfSearchTopK")): DataFrame = {
     val qv = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
     val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val cents = centroids
+    val cents0 = centroids
       .map(c => c.toDF("cid", "cv"))
       .getOrElse(corpus.orderBy(col(idCol)).limit(nlist)
         .select(col(idCol).as("cid"), col(vecCol).as("cv")))
+    val centRows = cents0
+      .select(col("cid").cast("long"), col("cv").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
     val lists = Dedup.capBuckets(
-      assignLists(cv, cents, 1).select(col("cid"), col("id").as("nb"), col("v").as("vb")),
+      cv.select(
+        graft.functions.IvfAssign.ivf_assign(col("v").cast("array<double>"), centRows).as("cid"),
+        col("id").as("nb"), col("v").as("vb")),
       Seq("cid"), maxListSize, onCap)
+    // probes keep the window formulation (a query set is small; its Exchange
+    // carries |Q|·nprobe rows) — cid cast long to match the map-side lists
+    val cents = cents0.select(col("cid").cast("long").as("cid"), col("cv"))
     val probes = assignLists(qv, cents, nprobe)
       .select(col("id"), col("cid"), col("v").as("va"))
-    probeJoinTopK(probes, lists, k, excludeSelf = false)
+    probeJoinTopK(broadcast(probes), lists, k, excludeSelf = false)
   }
 
   /** Approximate NN: bucket by hyperplane signature (optionally multi-probe

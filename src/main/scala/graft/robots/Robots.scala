@@ -171,7 +171,13 @@ object Robots {
         .map(_.length).maxOption.getOrElse(0)
     val chosen =
       if (bestLen > 0)
-        all.filter(_.agents.exists(t => t.length == bestLen && a.startsWith(t.toLowerCase)))
+        // bestLen was computed over LOWERCASED tokens; compare lengths on the
+        // same form — Unicode case mappings can change string length (e.g.
+        // 'İ' → "i̇"), and a raw-length compare would drop the winning group
+        all.filter(_.agents.exists { t =>
+          val lt = t.toLowerCase
+          lt.length == bestLen && a.startsWith(lt)
+        })
       else all.filter(_.agents.contains("*"))
     val mergedDelay = chosen.foldLeft(0L)((acc, g) => if (g.delayMs > 0) g.delayMs else acc)
     RobotsRule(host, chosen.flatMap(_.dis), chosen.flatMap(_.alw), mergedDelay)

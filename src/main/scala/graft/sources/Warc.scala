@@ -268,9 +268,16 @@ object Warc {
       out.close()
       if (!ok) fs.delete(tmpPath, false)
     }
-    // task commit: atomic rename; both HDFS and the local FS refuse a
-    // rename onto an existing destination, so exactly one attempt wins
-    if (!fs.rename(tmpPath, finalPath)) {
+    // task commit: atomic rename. HDFS refuses a rename onto an existing
+    // destination; the local FS (RawLocalFileSystem → File.renameTo) instead
+    // REPLACES it atomically on POSIX — so check existence first to keep the
+    // exactly-one-winner invariant on both filesystems. The exists→rename
+    // pair is not atomic, but a zombie losing the race only re-replaces the
+    // winner's byte-identical file (attempts serialize the same rows), so
+    // the worst case is a harmless double-commit, never a torn file.
+    if (fs.exists(finalPath)) {
+      fs.delete(tmpPath, false) // another attempt committed first
+    } else if (!fs.rename(tmpPath, finalPath)) {
       if (fs.exists(finalPath)) fs.delete(tmpPath, false) // another attempt committed first
       else throw new java.io.IOException(
         s"WARC sink commit failed: rename $tmpPath -> $finalPath")

@@ -111,6 +111,30 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.OpCaches.releaseAll()
   }
 
+  test("fused IvfAssign ≡ the crossJoin+window argmax formulation, row for row") {
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // deliberately awkward centroid set: non-contiguous cids, one duplicated
+    // vector (tie → smaller cid must win on both paths)
+    val centDf = e.orderBy(col("vec_id")).limit(5)
+      .select((col("vec_id") * 3 + 7).cast("long").as("cid"), col("embedding").as("cv"))
+    val dupRow = centDf.limit(1).select(lit(9999L).as("cid"), col("cv"))
+    val cents = centDf.unionByName(dupRow)
+    val centRows = cents.select(col("cid"), col("cv").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val fused = e.select(col("vec_id"),
+      graft.functions.IvfAssign.ivf_assign(col("embedding").cast("array<double>"), centRows).as("cid"))
+    val window = e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", Similarity.cosine(col("v"), col("cv")))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))))
+      .filter(col("cr") === 1)
+      .select(col("vec_id"), col("cid"))
+    assert(fused.exceptAll(window).isEmpty && window.exceptAll(fused).isEmpty,
+      "map-side assignment must be bit-identical to the window argmax")
+  }
+
   test("embedding near-dup pairs via LSH buckets find identical vectors") {
     val pairs = Similarity.nearDupPairs(embs, dims = 4, threshold = 0.9999)
       .select("a", "b").as[(Long, Long)].collect().toSet

@@ -185,6 +185,52 @@ class PlanSpec extends AnyFunSuite {
     graft.ops.OpCaches.releaseAll()
   }
 
+  test("ivfSearchTopK: corpus assigns map-side (fused expression) and never shuffles pre-rank") {
+    val df = SparkEntry.queries("qd_ann_search_ivf")(spark, dir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // AQE hides stage subtrees from TreeNode.collect (QueryStageExec keeps
+    // its plan as a member, not a child) — flatten through them explicitly
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val through = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q.plan +: p.children
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r.child +: p.children
+        case _ => p.children
+      }
+      p +: through.flatMap(flatten)
+    }
+    // the probe side (query set) must be the BROADCAST build of a cid
+    // equi-join — never a shuffle of the corpus
+    val bhj = flatten(finalPlan).collectFirst {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.getOrElse(fail(s"expected a broadcast hash join on cid:\n$finalPlan"))
+    val streamed = flatten(bhj.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => bhj.right
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => bhj.left
+    })
+    // corpus path: scan → fused map-side assignment → join; no Exchange of
+    // corpus vectors anywhere before the join (the window formulation would
+    // shuffle every vector on id just to pick its argmax centroid)
+    assert(streamed.exists(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]),
+      s"corpus parquet scan must stream into the join:\n${streamed.mkString("\n")}")
+    assert(streamed.exists(_.toString.contains("ivf_assign(")),
+      s"corpus list assignment must be the fused map-side expression:\n${streamed.mkString("\n")}")
+    assert(!streamed.exists(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec]),
+      s"corpus side must not shuffle pre-rank:\n${streamed.mkString("\n")}")
+    // per-(query, list) lossless prune fires before the first
+    // corpus-touching exchange
+    val planStr = finalPlan.toString
+    assert(planStr.contains("WindowGroupLimit") && planStr.contains("Partial"),
+      s"per-list top-k must map-side prune before its exchange:\n${planStr.take(3000)}")
+    graft.ops.OpCaches.releaseAll()
+  }
+
   test("minhash LSH near-dups plan as bucket equi-joins, not cross joins") {
     val df = SparkEntry.queries("qd_dedup_minhash")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
