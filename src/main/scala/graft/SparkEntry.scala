@@ -265,6 +265,15 @@ object SparkEntry {
       audit.select(col("doc_id"), col("verdict"),
         coalesce(col("dup_of"), lit(-1L)).as("dup_of")).orderBy("doc_id")
     }),
+    // the END-TO-END corpus→training-shards composition: curate survivors
+    // packed to token budgets — the table a training run reads
+    "qd_curate_pack" -> ((s, dir) => {
+      val (packed, _) = graft.ops.Curate.curateAndPack(t(s, dir, "documents"),
+        tokensPerShard = 5000,
+        graft.ops.Curate.CurateConfig(langs = Seq("en", "de", "fr", "es"),
+          minQuality = 0.55, minTokens = 20, nearDupThreshold = 0.7))
+      packed.orderBy("doc_id")
+    }),
     "qd_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"))
         .select("doc_id", "n_words", "punct_ratio", "stopword_ratio", "mean_word_len", "quality")
@@ -352,6 +361,68 @@ object SparkEntry {
        FROM pairs p JOIN sigs sa ON sa.doc_id = p.a JOIN sigs sb ON sb.doc_id = p.b
        WHERE bit_count(xor(sa.u, sb.u)) <= 3
        ORDER BY p.a, p.b"""
+
+  /** The curate pipeline oracle's CTE chain — per-input-doc filter
+    * verdicts (fverdict) + dedup assignment (dd.dup_of) over survivors.
+    * Shared by qd_curate (audit projection) and qd_curate_pack (kept-doc
+    * shard packing appended), so the composition is literally the same
+    * SQL plus a suffix.
+    */
+  private val curateCtes: String =
+    """WITH f AS (
+           SELECT doc_id, text,
+                  length(string_split(text, ' ')) AS n_words,
+                  floor((length(text) - length(replace(replace(replace(replace(replace(replace(text,'.',''),',',''),';',''),':',''),'!',''),'?',''))) / length(text) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+                  floor(len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','and','of','to','in','a','is','that'))) / length(string_split(text, ' ')) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+                  floor((length(text) - length(string_split(text, ' ')) + 1) / length(string_split(text, ' ')) * 10000.0 + 0.5) / 10000.0 AS mean_word_len
+           FROM documents),
+         qual AS (SELECT doc_id, text,
+                  floor((least(1.0, n_words / 64.0) * 0.4
+                         + (1.0 - least(1.0, punct_ratio * 5)) * 0.2
+                         + least(1.0, stopword_ratio * 4) * 0.2
+                         + (1.0 - least(1.0, abs(mean_word_len - 5.0) / 5.0)) * 0.2) * 10000.0 + 0.5) / 10000.0 AS quality,
+                  length(string_split(trim(text), ' ')) AS ws_tokens
+                  FROM f),
+         toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w FROM documents),
+         sc AS (SELECT doc_id,
+                  count(*) FILTER (w IN ('the','and','of','to','in','is','that','it','was','for')) AS s_en,
+                  count(*) FILTER (w IN ('der','die','das','und','ist','nicht','ein','mit','sich','auf')) AS s_de,
+                  count(*) FILTER (w IN ('le','la','les','et','est','une','pas','pour','que','dans')) AS s_fr,
+                  count(*) FILTER (w IN ('el','los','las','es','una','por','con','para','del','como')) AS s_es
+                FROM toks GROUP BY doc_id),
+         lang AS (SELECT doc_id,
+                CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                     WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                     WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                     WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                     ELSE 'de' END AS lang_pred
+                FROM sc),
+         verd AS (SELECT q.doc_id, q.text,
+                  CASE WHEN coalesce(l.lang_pred, 'und') NOT IN ('en','de','fr','es') THEN 'lang'
+                       WHEN q.quality < 0.55 THEN 'quality'
+                       WHEN q.ws_tokens < 20 OR q.ws_tokens > 1048576 THEN 'tokens'
+                       ELSE NULL END AS fverdict
+                  FROM qual q LEFT JOIN lang l ON l.doc_id = q.doc_id),
+         hx AS (SELECT doc_id, text, sha256(text) AS h FROM verd WHERE fverdict IS NULL),
+         reps AS (SELECT h, min(doc_id) AS rep FROM hx GROUP BY h),
+         mem AS (SELECT doc_id, rep FROM hx JOIN reps USING (h)),
+         rd AS (SELECT hx.doc_id, hx.text FROM hx JOIN reps ON hx.doc_id = reps.rep),
+         sh AS (SELECT doc_id,
+                       CASE WHEN len(ws) < 3 THEN [text]
+                            ELSE list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                       END AS s
+                FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM rd)),
+         pr AS (SELECT a.doc_id AS a, b.doc_id AS b
+                FROM sh a, sh b
+                WHERE a.doc_id < b.doc_id
+                  AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.7),
+         dr AS (SELECT b AS rep, min(a) AS near FROM pr GROUP BY b),
+         dd AS (SELECT mem.doc_id,
+                       CASE WHEN mem.doc_id <> mem.rep THEN mem.rep
+                            WHEN dr.near IS NOT NULL THEN dr.near
+                            ELSE mem.doc_id END AS dup_of
+                FROM mem LEFT JOIN dr ON dr.rep = mem.rep)
+    """
 
   def oracleSql: Map[String, String] = Map(
     "qd_knn_brute" ->
@@ -504,64 +575,26 @@ object SparkEntry {
       // dedupCorpus mirror (qd_dedup_corpus SQL) over the filter survivors;
       // brute-force shingle Jaccard stands in for banded LSH for the same
       // recall-1.0 reason as qd_dedup_corpus
-      """WITH f AS (
-           SELECT doc_id, text,
-                  length(string_split(text, ' ')) AS n_words,
-                  floor((length(text) - length(replace(replace(replace(replace(replace(replace(text,'.',''),',',''),';',''),':',''),'!',''),'?',''))) / length(text) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
-                  floor(len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','and','of','to','in','a','is','that'))) / length(string_split(text, ' ')) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
-                  floor((length(text) - length(string_split(text, ' ')) + 1) / length(string_split(text, ' ')) * 10000.0 + 0.5) / 10000.0 AS mean_word_len
-           FROM documents),
-         qual AS (SELECT doc_id, text,
-                  floor((least(1.0, n_words / 64.0) * 0.4
-                         + (1.0 - least(1.0, punct_ratio * 5)) * 0.2
-                         + least(1.0, stopword_ratio * 4) * 0.2
-                         + (1.0 - least(1.0, abs(mean_word_len - 5.0) / 5.0)) * 0.2) * 10000.0 + 0.5) / 10000.0 AS quality,
-                  length(string_split(trim(text), ' ')) AS ws_tokens
-                  FROM f),
-         toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w FROM documents),
-         sc AS (SELECT doc_id,
-                  count(*) FILTER (w IN ('the','and','of','to','in','is','that','it','was','for')) AS s_en,
-                  count(*) FILTER (w IN ('der','die','das','und','ist','nicht','ein','mit','sich','auf')) AS s_de,
-                  count(*) FILTER (w IN ('le','la','les','et','est','une','pas','pour','que','dans')) AS s_fr,
-                  count(*) FILTER (w IN ('el','los','las','es','una','por','con','para','del','como')) AS s_es
-                FROM toks GROUP BY doc_id),
-         lang AS (SELECT doc_id,
-                CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
-                     WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
-                     WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
-                     WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
-                     ELSE 'de' END AS lang_pred
-                FROM sc),
-         verd AS (SELECT q.doc_id, q.text,
-                  CASE WHEN coalesce(l.lang_pred, 'und') NOT IN ('en','de','fr','es') THEN 'lang'
-                       WHEN q.quality < 0.55 THEN 'quality'
-                       WHEN q.ws_tokens < 20 OR q.ws_tokens > 1048576 THEN 'tokens'
-                       ELSE NULL END AS fverdict
-                  FROM qual q LEFT JOIN lang l ON l.doc_id = q.doc_id),
-         hx AS (SELECT doc_id, text, sha256(text) AS h FROM verd WHERE fverdict IS NULL),
-         reps AS (SELECT h, min(doc_id) AS rep FROM hx GROUP BY h),
-         mem AS (SELECT doc_id, rep FROM hx JOIN reps USING (h)),
-         rd AS (SELECT hx.doc_id, hx.text FROM hx JOIN reps ON hx.doc_id = reps.rep),
-         sh AS (SELECT doc_id,
-                       CASE WHEN len(ws) < 3 THEN [text]
-                            ELSE list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
-                       END AS s
-                FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM rd)),
-         pr AS (SELECT a.doc_id AS a, b.doc_id AS b
-                FROM sh a, sh b
-                WHERE a.doc_id < b.doc_id
-                  AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.7),
-         dr AS (SELECT b AS rep, min(a) AS near FROM pr GROUP BY b),
-         dd AS (SELECT mem.doc_id,
-                       CASE WHEN mem.doc_id <> mem.rep THEN mem.rep
-                            WHEN dr.near IS NOT NULL THEN dr.near
-                            ELSE mem.doc_id END AS dup_of
-                FROM mem LEFT JOIN dr ON dr.rep = mem.rep)
+      s"""$curateCtes
          SELECT v.doc_id,
                 coalesce(v.fverdict, CASE WHEN dd.dup_of = v.doc_id THEN 'kept' ELSE 'duplicate' END) AS verdict,
                 CASE WHEN v.fverdict IS NULL AND dd.dup_of <> v.doc_id THEN dd.dup_of ELSE -1 END AS dup_of
          FROM verd v LEFT JOIN dd ON dd.doc_id = v.doc_id
          ORDER BY v.doc_id""",
+    "qd_curate_pack" ->
+      // the composed pipeline's oracle is literally the curate CTE chain
+      // plus the qd_pack_shards suffix over its kept docs — same SQL, same
+      // constants, no third formulation to drift
+      s"""$curateCtes,
+         kept AS (SELECT v.doc_id, v.text
+                  FROM verd v JOIN dd ON dd.doc_id = v.doc_id
+                  WHERE v.fverdict IS NULL AND dd.dup_of = v.doc_id),
+         pt AS (SELECT doc_id, length(string_split(trim(text), ' '))::BIGINT AS n_tokens FROM kept),
+         pc AS (SELECT doc_id, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS s
+                FROM pt)
+         SELECT doc_id, n_tokens, ((s - n_tokens) // 5000)::BIGINT AS shard
+         FROM pc ORDER BY doc_id""",
     "qd_repetition" ->
       """WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM documents),
          c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),

@@ -220,3 +220,24 @@ class CrawlLoop(
     CrawlOutcome(store, rounds, k - 1, cfg.shards)
   }
 }
+
+object CrawlLoop {
+  /** Loop with rules derived from a (host, robots_txt) table, parsed for
+    * `cfg.agent`'s RFC 9309 group — the wiring for a crawl that fetched (or
+    * was handed) raw robots.txt content.
+    */
+  def withTextRobots(spark: SparkSession, cfg: CrawlConfig, pages: DataFrame,
+                     robotsTexts: DataFrame, runners: Map[String, PageRunner],
+                     store: SnapshotStore): CrawlLoop =
+    new CrawlLoop(spark, cfg, pages,
+      Robots.fromTexts(robotsTexts, agent = cfg.agent), runners, store)
+
+  /** Loop with rules derived from the page store's own `/robots.txt`
+    * captures (the zero-extra-input path for WARC-ingested stores), parsed
+    * for `cfg.agent`'s RFC 9309 group.
+    */
+  def withStoreRobots(spark: SparkSession, cfg: CrawlConfig, pages: DataFrame,
+                      runners: Map[String, PageRunner], store: SnapshotStore): CrawlLoop =
+    new CrawlLoop(spark, cfg, pages,
+      Robots.fromPages(pages, agent = cfg.agent), runners, store)
+}

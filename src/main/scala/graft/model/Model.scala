@@ -144,7 +144,15 @@ final case class CrawlConfig(
       * per-round read unions O(K) delta dirs instead of O(rounds) (Iceberg
       * analog: snapshot compaction)
       */
-    compactSeenEvery: Int = 16)
+    compactSeenEvery: Int = 16,
+    /** The user-agent token this crawl identifies as for RFC 9309 §2.2.1
+      * group selection — feeds Robots.fromTexts/fromPages when the rules
+      * table is derived from raw robots.txt content
+      * ([[graft.crawl.CrawlLoop.withTextRobots]]/[[graft.crawl.CrawlLoop.withStoreRobots]]).
+      * "" = only `User-agent: *` groups apply. Ignored when a pre-parsed
+      * rules table is passed directly (agent selection happened at parse).
+      */
+    agent: String = "")
 
 /** A runner — the engine's typed-UDF surface (SURVEY.md §2 #12). Must be a
   * deterministic pure function for crawl parity; Left = error recorded under

@@ -108,6 +108,19 @@ object Curate {
         expr(s"__start div ${tokensPerShard}L").as("shard"))
   }
 
+  /** The full corpus → training-shards pipeline: [[curate]], then
+    * [[packShards]] over the survivors — the artifact a training run
+    * actually consumes (docs in id order, packed to `tokensPerShard`
+    * budgets). Returns ((doc_id, n_tokens, shard) over kept docs, audit).
+    * No shuffle shapes beyond the two composed ops' pinned ones.
+    */
+  def curateAndPack(docs: DataFrame, tokensPerShard: Long,
+                    cfg: CurateConfig = CurateConfig(),
+                    textCol: String = "text", idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    val (curated, audit) = curate(docs, cfg, textCol, idCol)
+    (packShards(curated, tokensPerShard, textCol, idCol), audit)
+  }
+
   /** (curated, audit): curated = the input's columns plus the annotation
     * columns, one row per surviving doc; audit = one row per INPUT doc
     * with its verdict (and `dup_of` for duplicates).

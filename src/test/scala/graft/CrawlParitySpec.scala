@@ -123,6 +123,50 @@ class CrawlParitySpec extends AnyFunSuite {
     runBoth("robots-wildcard", fix, CrawlConfig(), Seq(Fixtures.urlOf(0, 0)), robots = robots)
   }
 
+  /** Both paths derive rules from raw robots.txt TEXTS under cfg.agent —
+    * the wiring CrawlLoop.withTextRobots adds; the oracle parses the same
+    * texts with the same agent via the shared parseRobotsTxt.
+    */
+  private def runBothTexts(
+      name: String,
+      fixCfg: FixtureConfig,
+      cfg: CrawlConfig,
+      seeds: Seq[String],
+      robotsTexts: Seq[(String, String)]): Vector[String] = {
+    val pages = Fixtures.generate(fixCfg)
+    val rules = robotsTexts.map { case (h, t) =>
+      graft.robots.Robots.parseRobotsTxt(h, t, cfg.agent)
+    }
+    val ref = ReferenceCrawl.crawl(pages.map(p => p.url -> p).toMap, rules, seeds, cfg, Map.empty)
+    assert(ref.order.nonEmpty, s"$name: oracle crawled nothing — scenario is vacuous")
+    val store = new SnapshotStore(tmpDir(s"crawl-$name"), spark)
+    val loop = CrawlLoop.withTextRobots(spark, cfg, spark.createDataset(pages).toDF(),
+      robotsTexts.toDF("host", "robots_txt"), Map.empty, store)
+    val out = loop.run(seeds)
+    val sparkOrder = out.order(spark).select("url").as[String].collect().toVector
+    assert(sparkOrder === ref.order.map(_.url), s"$name: crawl ORDER diverged")
+    val sparkSeen = out.seen(spark).select("url").as[String].collect().toSet
+    assert(sparkSeen === ref.seen, s"$name: URL-seen SET diverged")
+    store.clear()
+    sparkOrder
+  }
+
+  test("cfg.agent: named-agent robots group diverges from * identically on both paths") {
+    // one robots.txt, two groups: anonymous crawls lose /p/1*, the named
+    // agent (matched case-insensitively per RFC 9309 §2.2.1) loses /p/2*
+    val texts = Seq("h0.test" ->
+      "User-agent: *\nDisallow: /p/1\n\nUser-agent: graftbot\nDisallow: /p/2\n")
+    val asBot = runBothTexts("agent-named", fix, CrawlConfig(agent = "GraftBot"),
+      Seq(Fixtures.urlOf(0, 0)), texts)
+    val asStar = runBothTexts("agent-star", fix, CrawlConfig(),
+      Seq(Fixtures.urlOf(0, 0)), texts)
+    assert(asBot !== asStar, "the named-agent group must actually change the crawl")
+    assert(!asBot.exists(_.startsWith("http://h0.test/p/2")),
+      "named agent honors ITS group's disallow")
+    assert(!asStar.exists(_.startsWith("http://h0.test/p/1")),
+      "anonymous agent honors the * group's disallow")
+  }
+
   test("urlFilter rewrite: prefix rewrite applied before policy") {
     runBoth("rewrite", fix,
       CrawlConfig(rewrite = Some(UrlRewrite("http://h1.test/", "http://h0.test/")),

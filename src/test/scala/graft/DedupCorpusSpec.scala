@@ -96,6 +96,32 @@ class DedupCorpusSpec extends AnyFunSuite {
     graft.ops.OpCaches.releaseAll()
   }
 
+  test("simhashNearDups: boilerplate cluster's bands drop loudly with the cap on") {
+    val n = 2000
+    val docs = ((0 until n).map(i => (i.toLong, boiler)) ++
+      others.zipWithIndex.map { case (t, i) => ((n + i).toLong, t) })
+      .toDF("doc_id", "text")
+    val cappedBuckets = new java.util.concurrent.atomic.AtomicLong()
+    val cappedRows = new java.util.concurrent.atomic.AtomicLong()
+    val pairs = Dedup.simhashNearDups(docs, maxBucketSize = 64,
+      onCap = (b, r) => { cappedBuckets.addAndGet(b); cappedRows.addAndGet(r) })
+    assert(cappedBuckets.get() === 0L,
+      "accounting must be LAZY: building the plan fires no job and no callback")
+    val nPairs = pairs.count()
+    // the identical cluster co-buckets in ALL 4 bands — at least 4 hot
+    // buckets, each holding the full n-member cluster
+    assert(awaitCap(cappedBuckets.get(), "simhashNearDups cap") >= 4L,
+      "the identical cluster floods every one of its 4 bands")
+    assert(awaitCap(cappedRows.get(), "simhashNearDups rows") >= 4L * n,
+      "dropped-row accounting covers the hot cluster in each band")
+    assert(nPairs === 0L, "every band bucket holding the identical cluster was dropped")
+
+    // cap disabled: the same cluster yields all C(m,2) pairs (hamming 0)
+    val small = (0 until 20).map(i => (i.toLong, boiler)).toDF("doc_id", "text")
+    assert(Dedup.simhashNearDups(small).count() === (20L * 19 / 2),
+      "uncapped identical cluster yields all pairs")
+  }
+
   test("nearDupCorpus (vectors): identical-vector cluster collapses to one rep before LSH") {
     import graft.ops.Similarity
     val dims = 8
