@@ -15,6 +15,50 @@ import org.apache.spark.sql.SparkSession
   * Emits ONE JSON line; "value" = sum of per-query medians.
   */
 object Bench {
+
+  /** Deterministic mixture-of-Gaussians embeddings — the DEPLOYMENT-shaped
+    * recall case (VERDICT r5 Missing #2): real corpora cluster, and the
+    * near-uniform random testdata embeddings are the HOSTILE case for any
+    * space-partitioning index, so their recall numbers (0.25-0.35) say
+    * little about production quality. Centers and per-point noise both
+    * derive from the splitmix64 chain (HyperplaneSigFns.planeComponent), so
+    * every run measures the same table — no Random, no seed drift.
+    */
+  private[graft] def clusteredEmbeddings(spark: SparkSession, n: Int, dims: Int,
+                                         nClusters: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import graft.functions.HyperplaneSigFns.planeComponent
+    spark.range(n).map { id =>
+      val c = (id % nClusters).toInt
+      (id, Array.tabulate(dims)(d =>
+        // noise at 0.35x center scale: clusters overlap enough that recall
+        // can DISCRIMINATE (a 1.0-for-everyone fixture measures nothing)
+        planeComponent(7777L, c, d) + 0.35 * planeComponent(id, 9999, d)))
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** recall@5 of each ANN family on the clustered table (reported next to
+    * the uniform-table numbers — the pair brackets deployment behavior)
+    */
+  private def clusteredRecalls(spark: SparkSession): Seq[(String, Double)] = {
+    import graft.ops.Similarity
+    val dims = 64
+    val e = clusteredEmbeddings(spark, n = 2000, dims = dims, nClusters = 20)
+    val exact = Similarity.bruteForceTopK(e, k = 5).cache()
+    exact.count()
+    val lsh = "clustered_lsh" -> Similarity.recallAtK(
+      Similarity.annTopK(e, dims = dims, k = 5, nPlanes = 7, tables = 8), exact)
+    val mp = "clustered_lsh_mp" -> Similarity.recallAtK(
+      Similarity.annTopK(e, dims = dims, k = 5, nPlanes = 7, tables = 4, probeBits = 1), exact)
+    val trained = Similarity.trainCentroids(e, dims = dims, nlist = 16, iters = 3)
+    val ivf = "clustered_ivf_trained" -> Similarity.recallAtK(
+      Similarity.ivfTopK(e, dims = dims, k = 5, nlist = 16, nprobe = 2,
+        centroids = Some(trained)), exact)
+    exact.unpersist()
+    graft.ops.OpCaches.releaseAll()
+    Seq(lsh, mp, ivf)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -68,7 +112,7 @@ object Bench {
         import graft.ops.Similarity
         val exact = queries("qd_knn_brute")(spark, sfDir).cache()
         exact.count()
-        val r = Seq("qd_ann_lsh", "qd_ann_ivf").map(q =>
+        val r = Seq("qd_ann_lsh", "qd_ann_lsh_mp", "qd_ann_ivf").map(q =>
           q -> Similarity.recallAtK(queries(q)(spark, sfDir), exact))
         // the trainer's lift over qd_ann_ivf's deterministic oracle-exact
         // default centroids, at the same nlist/nprobe
@@ -79,7 +123,7 @@ object Bench {
             centroids = Some(trained)), exact)
         exact.unpersist()
         graft.ops.OpCaches.releaseAll()
-        r :+ rt
+        r ++ Seq(rt) ++ clusteredRecalls(spark)
       } catch {
         case e: Throwable =>
           errors("recall") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -103,8 +147,12 @@ object Bench {
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = med.map(_._2).sum
     val rec = recalls.map { case (k, v) => s"""\"$k\":$v""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"warmup":$warmups,""" +
-      s""""queries":$qs,"spread":$spread,"recall_at_k":$rec,"errors":$errs,"sf":"$sfDir"}""")
+    // medians + recall lead the line; spread/errors trail — the driver's
+    // capture truncated the TAIL in r5 and the most important figures must
+    // survive a truncated capture (VERDICT r5 item 8)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""recall_at_k":$rec,"sf":"$sfDir","reps":$reps,"warmup":$warmups,""" +
+      s""""spread":$spread,"errors":$errs}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

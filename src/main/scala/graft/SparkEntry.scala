@@ -222,6 +222,10 @@ object SparkEntry {
       // vector testdata (at web scale nPlanes grows ~log2(n))
       Similarity.annTopK(t(s, dir, "embeddings"), dims = 64, k = 5, nPlanes = 7, tables = 8)
         .orderBy("id", "rank")),
+    "qd_ann_lsh_mp" -> ((s, dir) =>
+      Similarity.annTopK(t(s, dir, "embeddings"), dims = 64, k = 5, nPlanes = 7, tables = 4,
+        probeBits = 1)
+        .orderBy("id", "rank")),
     "qd_ann_ivf" -> ((s, dir) =>
       // the inverted-file ANN scale path; default deterministic centroids
       // (nlist smallest ids) keep it value-oracle-able in DuckDB
@@ -274,6 +278,15 @@ object SparkEntry {
           minQuality = 0.55, minTokens = 20, nearDupThreshold = 0.7))
       packed.orderBy("doc_id")
     }),
+    // shard WRITER: materialize the packed shards as shard=-partitioned
+    // parquet; the harness row is the read-back MANIFEST, so the oracle
+    // checks what landed on disk, not what the plan promised
+    "qd_write_shards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val packed = graft.ops.Curate.packShards(docs, tokensPerShard = 5000)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-shards").toString
+      graft.ops.Curate.writeShards(docs, packed, tmp).orderBy("shard")
+    }),
     "qd_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"))
         .select("doc_id", "n_words", "punct_ratio", "stopword_ratio", "mean_word_len", "quality")
@@ -315,7 +328,8 @@ object SparkEntry {
     * shape exactly — so even the APPROXIMATE operator gets a value-level
     * oracle, not just a row count.
     */
-  private def annOracleSql(dims: Int, nPlanes: Int, tables: Int, k: Int): String = {
+  private def annOracleSql(dims: Int, nPlanes: Int, tables: Int, k: Int,
+                           probeBits: Int = 0): String = {
     def planeList(seed: Long, p: Int): String =
       (0 until dims).map(d => Similarity.hyperplane(seed, p, d).toString)
         .mkString("[", ",", "]")
@@ -327,7 +341,11 @@ object SparkEntry {
     }.mkString(" UNION ALL ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         b AS ($bucketSelects),
-        c AS (SELECT DISTINCT l.id AS id, r.id AS nb FROM b l JOIN b r ON l.t = r.t AND l.bkt = r.bkt AND l.id <> r.id),
+        c AS (SELECT DISTINCT l.id AS id, r.id AS nb FROM b l JOIN b r ON l.t = r.t AND ${
+          // probeBits=1 admits hamming-1 bucket neighbors — the same pair set the
+          // engine's one-bit-flip probe expansion generates via its equi-join
+          if (probeBits <= 0) "l.bkt = r.bkt" else "bit_count(xor(l.bkt, r.bkt)) <= 1"
+        } AND l.id <> r.id),
         s AS (SELECT c.id, c.nb,
                      list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS sim
               FROM c JOIN e ea ON ea.vec_id = c.id JOIN e eb ON eb.vec_id = c.nb),
@@ -468,6 +486,8 @@ object SparkEntry {
          SELECT id, rk AS "rank", nb, floor(sim * 1000000 + 0.5) / 1000000 AS sim
          FROM r WHERE rk <= 5 ORDER BY id, rk""",
     "qd_ann_lsh" -> annOracleSql(dims = 64, nPlanes = 7, tables = 8, k = 5),
+    // half the tables, hamming-1 multi-probe: the recall-at-fixed-cost trade
+    "qd_ann_lsh_mp" -> annOracleSql(dims = 64, nPlanes = 7, tables = 4, k = 5, probeBits = 1),
     "qd_ann_ivf" ->
       // same arithmetic as the engine: assignment = cosine vs the 16
       // smallest-id vectors (deterministic), probe the 2 best lists,
@@ -610,6 +630,14 @@ object SparkEntry {
                FROM t)
          SELECT doc_id, n_tokens, ((s - n_tokens) // 5000)::BIGINT AS shard
          FROM c ORDER BY doc_id""",
+    "qd_write_shards" ->
+      """WITH t AS (SELECT doc_id, length(string_split(trim(text), ' '))::BIGINT AS n_tokens FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+                      sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS s
+               FROM t),
+         p AS (SELECT doc_id, n_tokens, ((s - n_tokens) // 5000)::BIGINT AS shard FROM c)
+         SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+         FROM p GROUP BY shard ORDER BY shard""",
     "qd_fingerprint" ->
       // lower() mirrors the UDF's toLowerCase; the LEFT JOIN keeps docs
       // shorter than k+window-1 (empty fingerprint) as n_fp=0 rows, exactly

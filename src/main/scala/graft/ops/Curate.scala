@@ -121,6 +121,29 @@ object Curate {
     (packShards(curated, tokensPerShard, textCol, idCol), audit)
   }
 
+  /** Materialize packed shards as a `shard=`-partitioned parquet table and
+    * return the read-back manifest (shard, n_docs, n_tokens) — the final
+    * step of the corpus → training-shards pipeline.
+    *
+    * Scale shape: [[packShards]]' output partitions hold CONTIGUOUS doc_id
+    * ranges (range partition → per-partition window keyed on the partition
+    * id), and shard = floor(prefix/budget) is monotone in doc_id — so each
+    * write task emits a handful of ADJACENT shard directories, not one
+    * file per shard per task (the small-file explosion `partitionBy` causes
+    * on hash-partitioned input). The manifest is computed FROM THE WRITTEN
+    * FILES, so it verifies the write rather than restating the plan.
+    */
+  def writeShards(docs: DataFrame, packed: DataFrame, outDir: String,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    docs.select(col(idCol), col(textCol))
+      .join(packed.select(col("doc_id").as(idCol), col("n_tokens"), col("shard")), Seq(idCol))
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+    docs.sparkSession.read.parquet(outDir)
+      // partition-column type inference narrows shard to int — pin long
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
   /** (curated, audit): curated = the input's columns plus the annotation
     * columns, one row per surviving doc; audit = one row per INPUT doc
     * with its verdict (and `dup_of` for duplicates).

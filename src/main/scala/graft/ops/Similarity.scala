@@ -403,12 +403,29 @@ object Similarity {
                 * accounted, recall only. <= 0 = off.
                 */
               maxBucketSize: Int = 0,
-              onCap: (Long, Long) => Unit = Dedup.logCap("Similarity.annTopK")): DataFrame = {
+              onCap: (Long, Long) => Unit = Dedup.logCap("Similarity.annTopK"),
+              /** multi-probe: 1 additionally probes every hamming-1
+                * neighbor bucket (one sign bit flipped) of each signature —
+                * the standard recall-at-fixed-tables trade (≈(nPlanes+1)×
+                * candidate volume per table, still an equi-join; a near
+                * neighbor that lands one plane across the boundary is
+                * recovered instead of lost). 0 = exact-bucket only.
+                */
+              probeBits: Int = 0): DataFrame = {
+    require(probeBits >= 0 && probeBits <= 1,
+      "probeBits > 1 multiplies candidates by C(nPlanes, b) — unsupported by design")
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     val buckets = Dedup.capBuckets(
       bucketKeys(emb, dims, nPlanes, tables, idCol, vecCol),
       Seq("t", "bkt"), maxBucketSize, onCap)
-    val cands = buckets
+    // probe side: the row's own bucket plus (optionally) each one-bit-
+    // flipped neighbor key; the corpus side stays un-expanded, so a pair
+    // within hamming 1 in table t matches on exactly one probe key
+    val probes = if (probeBits <= 0) buckets
+      else buckets.select(col("id"), col("t"),
+        explode(array(col("bkt") +:
+          (0 until nPlanes).map(p => col("bkt").bitwiseXOR(lit(1L << p))): _*)).as("bkt"))
+    val cands = probes
       .join(buckets.select(col("t"), col("bkt"), col("id").as("nb")), Seq("t", "bkt"))
       .filter(col("id") =!= col("nb"))
       // dedup multi-table rediscoveries AND pick the representative bucket

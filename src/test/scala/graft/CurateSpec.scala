@@ -79,6 +79,25 @@ class CurateSpec extends AnyFunSuite {
     graft.ops.OpCaches.releaseAll()
   }
 
+  test("writeShards: shard=-partitioned parquet round-trips; manifest matches the plan") {
+    val docs = (0L to 5L).map(i => (i, "tok tok tok tok")).toDF("doc_id", "text")
+    val packed = Curate.packShards(docs, tokensPerShard = 10)
+    val dir = SparkTestBase.tmpDir("write-shards")
+    val manifest = Curate.writeShards(docs, packed, dir)
+      .orderBy("shard").as[(Long, Long, Long)].collect().toSeq
+    // 0,4,8 -> shard 0; 12,16 -> shard 1; 20 -> shard 2 (4 tokens each)
+    assert(manifest === Seq((0L, 3L, 12L), (1L, 2L, 8L), (2L, 1L, 4L)),
+      "read-back manifest must reflect the packing")
+    // the written table round-trips every doc with its text intact, and the
+    // directory layout is one shard= partition per shard
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 6L)
+    assert(back.select("doc_id", "text").as[(Long, String)].collect().toSet ===
+      (0L to 5L).map(i => (i, "tok tok tok tok")).toSet)
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("shard=")) === 3)
+    graft.ops.OpCaches.releaseAll()
+  }
+
   test("degenerate inputs: all-filtered corpus and empty packing input stay well-formed") {
     // every doc fails the language filter -> dedup runs on an empty frame;
     // the audit must still cover every input with its filter verdict
