@@ -170,4 +170,87 @@ object Curate {
         when(!coalesce(col("kept"), lit(true)), col("dup_of")).as("dup_of"))
     (curated, audit)
   }
+
+  /** Line-level boilerplate removal — the corpus-frequency line dedup of
+    * the published webtext pipelines (CCNet's paragraph hash dedup,
+    * RefinedWeb/FineWeb's repeated-line filters): a line occurring in at
+    * least `minDocFreq` DISTINCT documents is boilerplate (cookie
+    * banners, nav menus, footers) and is dropped from every document;
+    * each survivor doc's remaining lines reassemble in original order.
+    *
+    * Document frequency (not raw occurrence count) is the right signal: a
+    * poem that repeats its own refrain is not boilerplate; a one-line
+    * cookie banner on 10^6 pages is.
+    *
+    * Scale shape: lines explode map-side; the DF count is one hash
+    * aggregate with map-side partial on a 32-byte sha2-256 line key
+    * (fixed-width shuffle key regardless of line length; collision-
+    * resistant, so keying on the hash decides EXACTLY like keying on the
+    * line — same argument as exact dedup's content key). Boilerplate keys
+    * (df >= threshold) are by definition FEW (each absorbs >= minDocFreq
+    * line instances), so they broadcast back as an anti-join — the
+    * per-line verdict costs no second corpus shuffle. Reassembly is one
+    * groupBy(doc_id) of the surviving lines. No silent row loss: a doc
+    * whose every line was boilerplate returns with empty text and
+    * n_kept = 0.
+    *
+    * Returns (idCol, text: cleaned, n_lines, n_kept).
+    */
+  def dedupLines(
+      docs: DataFrame,
+      minDocFreq: Long,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(minDocFreq >= 2, "minDocFreq < 2 would drop every line")
+    val lines = docs.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__h", sha2(col("__line"), 256))
+    // boilerplate key set: distinct (doc, line-hash) first so a doc's
+    // internal repeats count once, then df >= threshold. Both aggregates
+    // are map-side-combining hash aggregates on the 32-byte key.
+    val boiler = lines.select(col("__id"), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("__h"))
+    val kept = lines.join(broadcast(boiler).withColumn("__boiler", lit(true)),
+        Seq("__h"), "left")
+      .withColumn("__keep", coalesce(col("__boiler"), lit(false)) === false)
+    val assembled = kept.groupBy(col("__id")).agg(
+      concat_ws("\n", array_sort(collect_list(
+        when(col("__keep"), struct(col("__pos"), col("__line")))))
+        .getField("__line")).as("text"),
+      count(lit(1)).as("n_lines"),
+      sum(col("__keep").cast("long")).as("n_kept"))
+    assembled.select(col("__id").as(idCol), col("text"), col("n_lines"), col("n_kept"))
+  }
+
+  /** Domain/language mixture balancing by integer upsampling — the
+    * training-mix step that keeps a dominant domain from drowning the
+    * rest: every group is repeated `min(maxRepeat, ceil(maxCount /
+    * count))` times (the largest group's factor is 1), each copy tagged
+    * with a `rep` index so a downstream shuffle/pack sees distinct rows.
+    * Integer factors (vs fractional temperature sampling) keep the output
+    * EXACTLY deterministic — same rows at any parallelism — which is what
+    * makes a training mix reproducible across re-runs.
+    *
+    * Scale shape: the per-group count table is tiny (one row per domain)
+    * — the global max rides a single-partition window over THAT table,
+    * never over the corpus — and rejoins the corpus by broadcast; the
+    * repetition is a map-side explode. No corpus shuffle at all.
+    */
+  def balanceDomains(
+      docs: DataFrame,
+      groupCol: String = "source",
+      maxRepeat: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val factors = counts
+      .withColumn("__maxn", max(col("__n")).over(Window.partitionBy()))
+      .select(col(groupCol),
+        least(lit(maxRepeat.toLong),
+          expr("(__maxn + __n - 1L) div __n")).as("__factor"))
+    docs.join(broadcast(factors), Seq(groupCol))
+      .withColumn("rep", explode(sequence(lit(0L), col("__factor") - 1L)))
+      .drop("__factor")
+  }
 }

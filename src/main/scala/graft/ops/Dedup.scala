@@ -238,6 +238,75 @@ object Dedup {
       .withColumn("kept", col("dup_of") === col("doc_id"))
   }
 
+  // ---------- incremental (delta-vs-base) minhash ----------
+
+  /** The reusable MinHash-LSH index of a corpus: per-doc shingle payload
+    * (`id`, `sh`) and band buckets (`id`, `band`, `bandHash`). Write both
+    * to parquet once per corpus snapshot; every incremental dedup run then
+    * reads them instead of re-shingling 100 TB. (`sh` is only needed for
+    * exact verification — the bucket table alone supports candidate
+    * generation.)
+    */
+  def minhashIndex(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 3,
+      numHashes: Int = 128,
+      threshold: Double = 0.7,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    val bands = chooseBands(numHashes, threshold)
+    val shingled = docs.select(col(idCol).as("id"), wordShingles(col(textCol), k).as("sh"))
+    val buckets = shingled.select(col("id"),
+      posexplode(lshBandHashes(minhashSignature(col("sh"), numHashes, seed), bands, numHashes / bands))
+        .as(Seq("band", "bandHash")))
+    (shingled, buckets)
+  }
+
+  /** INCREMENTAL near-dedup: new documents against an existing corpus,
+    * without re-self-joining the corpus. This is the daily-crawl shape —
+    * the base corpus is indexed once ([[minhashIndex]], persisted as
+    * parquet), and each delta batch pays only |delta| shingling plus a
+    * band-bucket equi-join against the stored bucket table. Base-base
+    * pairs are never generated (the snapshot was already deduped);
+    * delta-delta pairs are the caller's separate [[minhashNearDups]] run
+    * on the (small) delta alone.
+    *
+    * The cap guards the BASE side — a boilerplate-heavy base bucket would
+    * otherwise multiply every colliding delta row. Returns
+    * (new_id, base_id, jaccard >= threshold), one row per pair.
+    */
+  def minhashDeltaNearDups(
+      newDocs: DataFrame,
+      baseDocs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 3,
+      numHashes: Int = 128,
+      threshold: Double = 0.7,
+      seed: Long = 42L,
+      maxBucketSize: Int = 0,
+      onCap: (Long, Long) => Unit = logCap("minhashDeltaNearDups")): DataFrame = {
+    val (newSh0, newBk) = minhashIndex(newDocs, textCol, idCol, k, numHashes, threshold, seed)
+    val (baseSh0, baseBk) = minhashIndex(baseDocs, textCol, idCol, k, numHashes, threshold, seed)
+    // each side's shingle pass feeds its bucket explode AND its
+    // verification join — persist; released via OpCaches.releaseAll()
+    val newSh = OpCaches.persist(newSh0, StorageLevel.MEMORY_AND_DISK)
+    val baseSh = OpCaches.persist(baseSh0, StorageLevel.MEMORY_AND_DISK)
+    val cappedBase = capBuckets(baseBk, Seq("band", "bandHash"), maxBucketSize, onCap)
+    val pairs = newBk.select(col("band"), col("bandHash"), col("id").as("a"))
+      .join(cappedBase.select(col("band"), col("bandHash"), col("id").as("b")),
+        Seq("band", "bandHash"))
+      .select(col("a"), col("b"))
+      .dropDuplicates("a", "b")
+    pairs
+      .join(newSh.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(baseSh.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
+      .withColumn("jaccard", jaccard(col("sha"), col("shb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), TextAnalysis.halfUp(col("jaccard"), 4).as("jaccard"))
+  }
+
   // ---------- simhash ----------
 
   /** 64-bit SimHash over whitespace tokens — a codegen Expression

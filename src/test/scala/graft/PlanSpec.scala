@@ -237,4 +237,64 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
       s"LSH candidate generation must be an equi-join:\n$plan")
   }
+
+  test("decontam: corpus probes the broadcast gram set in ONE pass, no corpus shuffle") {
+    val df = SparkEntry.queries("qd_decontam")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval gram set must broadcast into the probe:\n$plan")
+    // exactly two hash exchanges: the eval-side distinct and the folded
+    // per-doc aggregate — the exploded corpus gram stream itself never
+    // shuffles (partial aggregation collapses it map-side first)
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx == 2, s"expected 2 hash exchanges (eval distinct + doc fold), got $nEx:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"per-doc fold must partially aggregate before its exchange:\n$plan")
+    graft.ops.OpCaches.releaseAll()
+  }
+
+  test("pageRank: cached edge table, equi-joins only, no cartesian") {
+    val df = SparkEntry.queries("qg_pagerank")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), s"no cartesian in pageRank:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"edges+outdeg must come from the one persisted table each iteration:\n$plan")
+    graft.ops.OpCaches.releaseAll()
+  }
+
+  test("connectedComponents: persisted symmetrized edges, equi-joins only") {
+    val df = SparkEntry.queries("qg_components")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), s"no cartesian in CC:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"each round must read the one persisted edge table:\n$plan")
+    graft.ops.OpCaches.releaseAll()
+  }
+
+  test("dedupLines: boilerplate keys broadcast back; corpus lines shuffle only into aggregates") {
+    val df = SparkEntry.queries("qd_dedup_lines")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"boilerplate key set must broadcast into the per-line verdict:\n$plan")
+    // three hash exchanges: per-doc distinct, the df aggregate over line
+    // keys, and the per-doc reassembly — the line stream itself never
+    // shuffles twice for the verdict
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx <= 3, s"expected <=3 hash exchanges, got $nEx:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"df count must partially aggregate before its exchange:\n$plan")
+  }
+
+  test("balanceDomains: factors broadcast back, repetition is a map-side explode") {
+    val df = SparkEntry.queries("qd_balance_domains")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-group factors must broadcast-join the corpus:\n$plan")
+    assert(plan.contains("Generate explode"),
+      s"repetition must be a generator, not a join:\n$plan")
+    // the corpus shuffles only into the (tiny) per-group count aggregate;
+    // the global max rides a SinglePartition window over THAT table
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx == 1, s"expected 1 hash exchange (group counts), got $nEx:\n$plan")
+  }
 }
