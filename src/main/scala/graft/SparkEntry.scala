@@ -390,6 +390,66 @@ object SparkEntry {
         groupCol = "lang", maxRepeat = 4)
         .select(col("doc_id"), col("lang"), col("rep"))
         .orderBy("doc_id", "rep")),
+    // deterministic 25% hash sample — same ids at any parallelism/run
+    "qd_sample" -> ((s, dir) =>
+      graft.ops.Curate.sampleByHash(t(s, dir, "documents"), rateBp = 2500)
+        .select("doc_id").orderBy("doc_id")),
+    // per-domain cap: <=10 docs per source, picked by seeded hash order
+    "qd_cap_domain" -> ((s, dir) =>
+      graft.ops.Curate.capPerDomain(t(s, dir, "documents"), k = 10)
+        .select("doc_id", "source").orderBy("source", "doc_id")),
+    // corpus-trained integer bigram LM score (deterministic CCNet-style
+    // LM quality filtering — floor-log2 arithmetic, BIGINT end to end)
+    "qd_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(t(s, dir, "documents")).orderBy("doc_id")),
+    // per-doc top-3 keywords by integer tf-idf
+    "qd_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), k = 3)
+        .orderBy("doc_id", "rk")),
+    // PII scrub over deterministically injected email/IP/phone (2/3 of
+    // docs get PII appended, 1/3 pass through untouched)
+    "qd_pii" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 =!= 0, concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.org or 10."),
+          (col("doc_id") % 200).cast("string"),
+          lit(".3.7 tel +1 555 867 530"),
+          (col("doc_id") % 10).cast("string")))
+          .otherwise(col("text")).as("text"))
+      graft.ops.Pii.redact(injected).orderBy("doc_id")
+    }),
+    // adaptive recrawl priority from a fetch history (events as the log:
+    // page=user_id, signature=event_type, tiebreak=event_id)
+    "qd_recrawl" -> ((s, dir) =>
+      graft.sched.Recrawl.schedule(
+        t(s, dir, "events").select(col("user_id").as("page"), col("ts"),
+          col("event_type").as("sig"), col("event_id").as("fetch_id")))
+        .orderBy("page")),
+    // domain blocklist with subdomain subtree semantics via the
+    // suffix-chain equi anti-join (never a LIKE nested loop)
+    "qd_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("www."), col("source"), lit(".example.com")).as("host"))
+      val bl = Seq("src3.example.com", "src7.example.com",
+        "src11.example.com", "example.net").toDF("dom")
+      graft.url.Blocklist.filterBlocked(docs, bl).orderBy("doc_id")
+    }),
+    // sitemap <loc> discovery: per-source sitemap XML synthesized by a
+    // deterministic sorted group-concat (fixture step, not the operator),
+    // then the codegen loc extraction + trim
+    "qd_sitemap" -> ((s, dir) => {
+      val entry = concat(lit("<url><loc> http://"), col("source"),
+        lit(".test/p"), col("doc_id").cast("string"), lit(" </loc></url>"))
+      val maps = t(s, dir, "documents").groupBy("source").agg(
+        concat(lit("<urlset>"),
+          concat_ws("", sort_array(collect_list(entry))),
+          lit("</urlset>")).as("xml"))
+      maps.select(col("source"),
+        explode(graft.extract.Extract.sitemapLocsCol(col("xml"))).as("loc"))
+        .orderBy("source", "loc")
+    }),
     "qd_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"))
         .select("doc_id", "n_words", "punct_ratio", "stopword_ratio", "mean_word_len", "quality")
@@ -670,6 +730,97 @@ object SparkEntry {
          SELECT d.doc_id, d.lang, u.rep
          FROM documents d JOIN f USING (lang), unnest(range(0, factor)) u(rep)
          ORDER BY doc_id, rep""",
+    // the shared sample key: low 60 bits of md5(salt || id) read from the
+    // trailing 15 hex chars — hex-substring convention identical to the
+    // engine's conv(substring(md5(..), 18, 15), 16, 10)
+    "qd_sample" ->
+      """SELECT doc_id FROM documents
+         WHERE ('0x' || substr(md5('graft-sample' || doc_id), 18, 15))::BIGINT % 10000 < 2500
+         ORDER BY doc_id""",
+    "qd_cap_domain" ->
+      """WITH r AS (SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source ORDER BY
+                  ('0x' || substr(md5('graft-sample' || doc_id), 18, 15))::BIGINT, doc_id) AS rk
+              FROM documents)
+         SELECT doc_id, source FROM r WHERE rk <= 10 ORDER BY source, doc_id""",
+    // integer bigram LM: ilog2 via binary-string length (exact in both
+    // engines — float log2 drifts at powers of two); the per-term -1s of
+    // floor(log2) cancel in the difference. Negate-divide-negate keeps
+    // the per-token figure identical (Spark div truncates, // floors).
+    "qd_lm_score" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+         inst AS (SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i + 1] AS bg
+                  FROM w, unnest(range(1, len(ws))) u(i)),
+         bc AS (SELECT bg, count(*) AS cbg FROM inst GROUP BY 1),
+         wc AS (SELECT w1, count(*) AS cw1 FROM inst GROUP BY 1),
+         sc AS (SELECT doc_id, count(*) AS nb,
+                  sum(length(bin(cbg)) - length(bin(cw1)))::BIGINT AS score
+                FROM inst JOIN bc USING (bg) JOIN wc USING (w1) GROUP BY 1)
+         SELECT d.doc_id, coalesce(nb, 0)::BIGINT AS n_bigrams,
+                coalesce(score, 0)::BIGINT AS lm_score,
+                (CASE WHEN coalesce(nb, 0) > 0 THEN -(((-score) * 1000) // nb) ELSE 0 END)::BIGINT AS lm_per_tok
+         FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""",
+    "qd_tfidf" ->
+      """WITH wx AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM documents),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM wx GROUP BY 1, 2),
+         dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         nn AS (SELECT count(*) AS n FROM documents),
+         sc AS (SELECT tf.doc_id, tf.w, tf.tf,
+                  (tf.tf * (length(bin(nn.n)) - length(bin(dfx.df))))::BIGINT AS score
+                FROM tf JOIN dfx USING (w), nn),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rk FROM sc)
+         SELECT doc_id, w AS term, tf::BIGINT AS tf, score, rk
+         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+    // identical injection, then the SAME three patterns (Java-regex/RE2
+    // common subset) — email first, then ip, then phone; counts against
+    // the pre-redaction text
+    "qd_pii" ->
+      """WITH inj AS (SELECT doc_id,
+           CASE WHEN doc_id % 3 <> 0 THEN
+             text || ' contact user' || doc_id || '@mail.example.org or 10.'
+                  || (doc_id % 200) || '.3.7 tel +1 555 867 530' || (doc_id % 10)
+           ELSE text END AS text FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+             '\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3}[ -][0-9]{4}', '<PHONE>', 'g') AS red_text,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))::BIGINT AS n_ips,
+           len(regexp_extract_all(text, '\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3}[ -][0-9]{4}'))::BIGINT AS n_phones
+         FROM inj ORDER BY doc_id""",
+    // all-BIGINT change-frequency scheduler; "now" = max ts of the input
+    "qd_recrawl" ->
+      """WITH h AS (SELECT user_id AS page, ts, event_type AS sig,
+                lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+         p AS (SELECT page, count(*) AS n_fetches,
+                 count(CASE WHEN prev IS NOT NULL AND prev <> sig THEN 1 END) AS n_changes,
+                 max(epoch_ms(ts)) AS last_ms
+               FROM h GROUP BY 1),
+         nw AS (SELECT max(epoch_ms(ts)) AS nm FROM h)
+         SELECT page, n_fetches::BIGINT AS n_fetches, n_changes::BIGINT AS n_changes,
+           (CASE WHEN n_fetches > 1 THEN n_changes * 10000 // (n_fetches - 1) ELSE 0 END)::BIGINT AS change_rate_bp,
+           ((nm - last_ms) // 1000)::BIGINT AS staleness_s,
+           (((nm - last_ms) // 1000)
+             * ((CASE WHEN n_fetches > 1 THEN n_changes * 10000 // (n_fetches - 1) ELSE 0 END) + 1))::BIGINT AS priority
+         FROM p, nw ORDER BY page""",
+    "qd_blocklist" ->
+      """WITH d AS (SELECT doc_id, 'www.' || source || '.example.com' AS host FROM documents),
+         b(dom) AS (VALUES ('src3.example.com'), ('src7.example.com'),
+                           ('src11.example.com'), ('example.net'))
+         SELECT doc_id, host FROM d
+         WHERE NOT EXISTS (SELECT 1 FROM b WHERE d.host = b.dom OR d.host LIKE '%.' || b.dom)
+         ORDER BY doc_id""",
+    "qd_sitemap" ->
+      """WITH e AS (SELECT source,
+                '<url><loc> http://' || source || '.test/p' || doc_id || ' </loc></url>' AS entry
+              FROM documents),
+         m AS (SELECT source,
+                 '<urlset>' || string_agg(entry, '' ORDER BY entry) || '</urlset>' AS xml
+               FROM e GROUP BY 1),
+         u AS (SELECT source, unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)) AS loc0 FROM m)
+         SELECT source, trim(loc0) AS loc FROM u ORDER BY source, loc""",
     "qd_dedup_delta" ->
       // brute-force cross-side word-3-shingle Jaccard: every (delta twin,
       // base doc) ordered pair — valid because banded recall is 1.0 here

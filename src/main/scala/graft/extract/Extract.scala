@@ -85,4 +85,23 @@ object Extract extends Serializable {
   def textCol(htmlStr: Column): Column =
     when(isRedirectCol(htmlStr), lit(""))
       .otherwise(javaTrim(regexp_replace(regexp_replace(htmlStr, TagPattern, " "), WsPattern, " ")))
+
+  // ---- sitemap discovery (sitemaps.org protocol) ----
+
+  /** `<loc>` entry bodies; whitespace inside the element is insignificant
+    * per the sitemap protocol, so entries trim. Same grammar in the pure
+    * and Column forms (and in the DuckDB oracle — the pattern is in the
+    * Java/RE2 common subset).
+    */
+  val SitemapLocPattern: String = "<loc>([^<]*)</loc>"
+  private val SitemapLocRe = SitemapLocPattern.r
+
+  /** pure mirror: loc entries in document order, trimmed */
+  def sitemapLocs(xml: String): Vector[String] =
+    SitemapLocRe.findAllMatchIn(xml).map(_.group(1).trim).toVector
+
+  /** array<string> of trimmed loc entries (codegen built-ins only) */
+  def sitemapLocsCol(xml: Column): Column =
+    transform(regexp_extract_all(xml, lit(SitemapLocPattern), lit(1)),
+      e => javaTrim(e))
 }

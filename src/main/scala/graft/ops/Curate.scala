@@ -224,6 +224,49 @@ object Curate {
     assembled.select(col("__id").as(idCol), col("text"), col("n_lines"), col("n_kept"))
   }
 
+  /** The deterministic 60-bit sample key of an id: the low 60 bits of
+    * md5(salt || id), via hex — built-in, codegen, and reproducible in
+    * any engine with md5 (the oracle takes the same 15 trailing hex
+    * chars). 60 bits so the value fits BIGINT without ANSI overflow.
+    */
+  def sampleKey(id: Column, salt: String = "graft-sample"): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 18, 15), 16, 10)
+      .cast("long")
+
+  /** Deterministic hash sampling — keep ~rateBp/10000 of the corpus by
+    * id-hash, NOT by `rand()`: the same ids survive every run, any
+    * partitioning, any cluster size, so a sampled pipeline is
+    * reproducible end to end and two runs over the same snapshot agree
+    * row-for-row (the property `DataFrame.sample` explicitly does not
+    * give you across different partitionings). Pure map-side filter —
+    * no shuffle, pushes down past column pruning.
+    */
+  def sampleByHash(docs: DataFrame, rateBp: Int, idCol: String = "doc_id",
+                   salt: String = "graft-sample"): DataFrame = {
+    require(rateBp >= 0 && rateBp <= 10000, "rateBp is basis points (0..10000)")
+    docs.filter(sampleKey(col(idCol), salt) % 10000 < rateBp)
+  }
+
+  /** Per-domain document cap — at most `k` docs per domain, selected by
+    * the deterministic [[sampleKey]] order (a seeded uniform pick, so a
+    * mega-domain's survivors are an unbiased sample, not its first k by
+    * id): the FineWeb-style guard that stops one host from dominating
+    * the training mix. Spark plans the rank<=k filter as
+    * WindowGroupLimit — each input partition keeps only its own top-k
+    * per domain BEFORE the exchange, so the shuffle carries at most
+    * k×domains×partitions rows, never the corpus.
+    */
+  def capPerDomain(docs: DataFrame, k: Int, groupCol: String = "source",
+                   idCol: String = "doc_id",
+                   salt: String = "graft-sample"): DataFrame = {
+    require(k > 0)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(sampleKey(col(idCol), salt), col(idCol))
+    docs.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Domain/language mixture balancing by integer upsampling — the
     * training-mix step that keeps a dominant domain from drowning the
     * rest: every group is repeated `min(maxRepeat, ceil(maxCount /

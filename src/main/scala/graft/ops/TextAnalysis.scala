@@ -108,6 +108,96 @@ object TextAnalysis {
         r4(col("__distinct").cast("double") / col("__n")).as("distinct_word_ratio"))
   }
 
+  // ---------- corpus-statistical scoring (LM quality, tf-idf) ----------
+
+  /** whitespace tokens with empties dropped, as an array column */
+  private def toks(text: Column): Column =
+    filter(split(text, "\\s+"), w => w =!= "")
+
+  /** integer floor(log2(c)) for c >= 1, computed EXACTLY via the length
+    * of the binary string — no float log, so the value is identical in
+    * any engine (log2 via float drifts at powers of two)
+    */
+  private def ilog2(c: Column): Column = length(bin(c)) - 1
+
+  /** Corpus-trained bigram language-model score — the deterministic form
+    * of CCNet/CC-Net-style LM-perplexity quality filtering: score each
+    * document by how predictable its word bigrams are under counts
+    * gathered from the corpus itself. Per bigram instance the
+    * contribution is `ilog2(count(w1 w2)) - ilog2(count(w1))` — an
+    * integer floor-log2 conditional log-probability (always <= 0); the
+    * doc score is the sum, and `lm_per_tok` = score scaled by 1000 and
+    * divided by the bigram count (integer division) for a length-free
+    * figure. All arithmetic is BIGINT: sums are order-free, so the
+    * result is exact at any parallelism and value-oracle-able — a float
+    * perplexity never is.
+    *
+    * Scale shape: bigram instances explode map-side (one pass, HOF over
+    * the token array — no self-join to pair neighbors); the count tables
+    * are vocab-sized (<< corpus) and build with map-side-combining hash
+    * aggregates; scoring joins instance streams to counts on the bigram/
+    * unigram string keys and folds per doc with partial aggregation. At
+    * a 10^8-type vocabulary the count tables stay distributed (shuffle
+    * join) — broadcast only if a deployment's vocab fits.
+    *
+    * No silent row loss: docs with < 2 tokens return n_bigrams = 0,
+    * lm_score = 0. Returns (idCol, n_bigrams, lm_score, lm_per_tok).
+    */
+  def lmScore(docs: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol).as("__id"), toks(col(textCol)).as("__t"))
+    // one map-side pass: per doc, the list of (w1, bigram) instances.
+    // Docs with < 2 tokens are filtered BEFORE the explode — Spark's
+    // sequence(0, -1) is the DESCENDING [0, -1] and __t[-1] throws under
+    // ANSI; the trailing left join restores them with zero scores.
+    val inst = base.filter(size(col("__t")) >= 2).select(col("__id"),
+      explode(expr("transform(sequence(0, size(__t) - 2), i -> " +
+        "struct(__t[i] AS w1, concat(__t[i], ' ', __t[i + 1]) AS bg))")).as("p"))
+      .select(col("__id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val bgCounts = inst.groupBy("bg").agg(count(lit(1)).as("__cbg"))
+    val w1Counts = inst.groupBy("w1").agg(count(lit(1)).as("__cw1"))
+    val scored = inst
+      .join(bgCounts, "bg").join(w1Counts, "w1")
+      .groupBy("__id").agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(ilog2(col("__cbg")) - ilog2(col("__cw1"))).cast("long").as("lm_score"))
+    base.select(col("__id")).join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score"), lit(0L)).as("lm_score"),
+        // negate-divide-negate: Spark `div` truncates toward zero but
+        // SQL `//` floors — on the (always <= 0) score they disagree;
+        // dividing the negated (non-negative) value is identical in both
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          -expr("((-lm_score) * 1000) div n_bigrams")).otherwise(lit(0L)).as("lm_per_tok"))
+  }
+
+  /** Per-document top-k keywords by integer tf-idf: term score =
+    * tf * (ilog2(N) - ilog2(df)) with ties broken by term string — all
+    * BIGINT, so ranking is deterministic at any parallelism. One
+    * (doc, word) hash aggregate for tf, one word aggregate for df, a
+    * broadcast one-row N, and a rank-k window that Spark plans with
+    * WindowGroupLimit (partial top-k before the exchange).
+    * Returns (idCol, term, tf, score, rk), rk = 1..k per doc.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.agg(count(lit(1)).as("__N"))
+    val words = docs.select(col(idCol).as("__id"),
+      explode(toks(col(textCol))).as("w"))
+    val tf = words.groupBy("__id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("__df"))
+    val scoredW = tf.join(df, "w").crossJoin(broadcast(nDocs))
+      .select(col("__id"), col("w"),  col("tf"),
+        (col("tf") * (ilog2(col("__N")) - ilog2(col("__df")))).cast("long").as("score"))
+    val win = Window.partitionBy("__id").orderBy(col("score").desc, col("w"))
+    scoredW.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+      .select(col("__id").as(idCol), col("w").as("term"), col("tf"),
+        col("score"), col("rk").cast("long").as("rk"))
+  }
+
   // ---------- token counting ----------
 
   /** whitespace token count (codegen) */

@@ -113,6 +113,41 @@ class CurateSpec extends AnyFunSuite {
     graft.ops.OpCaches.releaseAll()
   }
 
+  test("sampleByHash: deterministic across partitionings, monotone in rate, exact at the ends") {
+    val docs = (0L until 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val at25 = Curate.sampleByHash(docs, rateBp = 2500).select("doc_id")
+      .as[Long].collect().toSet
+    val at25Repart = Curate.sampleByHash(docs.repartition(7), rateBp = 2500)
+      .select("doc_id").as[Long].collect().toSet
+    assert(at25 === at25Repart, "same ids survive at any partitioning")
+    assert(at25.size > 40 && at25.size < 160, s"~25% of 400 expected, got ${at25.size}")
+    val at50 = Curate.sampleByHash(docs, rateBp = 5000).select("doc_id")
+      .as[Long].collect().toSet
+    assert(at25.subsetOf(at50), "rate increase only ADDS ids (nested samples)")
+    assert(Curate.sampleByHash(docs, rateBp = 0).count() === 0L)
+    assert(Curate.sampleByHash(docs, rateBp = 10000).count() === 400L)
+    // a different salt draws a different (deterministic) sample
+    val other = Curate.sampleByHash(docs, rateBp = 2500, salt = "other")
+      .select("doc_id").as[Long].collect().toSet
+    assert(other !== at25)
+  }
+
+  test("capPerDomain: at most k per domain, small domains intact, pick is partition-invariant") {
+    val docs = ((0L until 50L).map(i => (i, "big.example")) ++
+      (50L until 53L).map(i => (i, "small.example")))
+      .toDF("doc_id", "source")
+    val capped = Curate.capPerDomain(docs, k = 10)
+    val bySrc = capped.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("big.example") === 10L)
+    assert(bySrc("small.example") === 3L, "domains under the cap keep every doc")
+    val ids1 = capped.select("doc_id").as[Long].collect().toSet
+    val ids2 = Curate.capPerDomain(docs.repartition(5), k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 === ids2, "seeded-hash pick is independent of partitioning")
+    // the survivors are a hash-ordered sample, not the first k by id
+    assert(ids1.filter(_ < 50L) !== (0L until 10L).toSet)
+  }
+
   test("curate with empty language allowlist keeps all languages") {
     val docs = Seq((0L, good), (1L, german)).toDF("doc_id", "text")
     val (curated, audit) = Curate.curate(docs, CurateConfig(langs = Seq.empty))

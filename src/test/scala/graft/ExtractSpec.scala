@@ -21,6 +21,18 @@ class ExtractSpec extends AnyFunSuite {
     assert(Extract.extractText(redir) === "")
   }
 
+  test("sitemap locs: pure/Column agree, entries trim, non-loc tags ignored") {
+    val xml = "<urlset><url><loc> http://a.test/1 </loc><lastmod>2024-01-01</lastmod></url>" +
+      "<url><loc>http://a.test/2</loc></url><url><loc>\thttp://a.test/3\n</loc></url></urlset>"
+    val expect = Vector("http://a.test/1", "http://a.test/2", "http://a.test/3")
+    assert(Extract.sitemapLocs(xml) === expect)
+    val got = Seq(xml).toDF("xml")
+      .select(Extract.sitemapLocsCol(col("xml")).as("locs"))
+      .as[Seq[String]].head()
+    assert(got === expect)
+    assert(Extract.sitemapLocs("<urlset></urlset>") === Vector.empty)
+  }
+
   test("per-row invariant: extractText(html) == text, byte-identical, over the fixture web") {
     val cfg = FixtureConfig(nHosts = 6, maxPagesPerHost = 24)
     val pages = Fixtures.generate(cfg)

@@ -179,6 +179,82 @@ class OpsSpec extends AnyFunSuite {
     assert(tc.getInt(1) === 7) // a|bb|ccc|dddd|eeee|e|!
   }
 
+  test("lmScore: hand-computed integer bigram log-probs; short docs score 0; partition-invariant") {
+    // corpus: doc0 = "a b a b", doc1 = "a b c", doc2 = "solo" (no bigrams)
+    // counts: bg("a b")=3, bg("b a")=1, bg("b c")=1; w1(a)=3, w1(b)=2
+    // ilog2: 3->1, 2->1, 1->0
+    // doc0: (a,"a b")=1-1=0, (b,"b a")=0-1=-1, (a,"a b")=0  => score -1, n=3
+    // doc1: (a,"a b")=0, (b,"b c")=0-1=-1                   => score -1, n=2
+    val docs = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out === Array(
+      (0L, 3L, -1L, -333L), // -((1*1000) div 3)
+      (1L, 2L, -1L, -500L),
+      (2L, 0L, 0L, 0L)))
+    val repart = TextAnalysis.lmScore(docs.repartition(5)).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(repart === out, "integer sums are exact at any parallelism")
+  }
+
+  test("tfidfTopTerms: corpus-wide terms score 0, distinctive terms rank first") {
+    // N=2; df(x)=2 -> idf 0; df(y)=df(z)=1 -> idf 1
+    val docs = Seq((0L, "x x y"), (1L, "x z")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, k = 2).orderBy("doc_id", "rk")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(out === Array(
+      (0L, "y", 1L, 1L, 1L), (0L, "x", 2L, 0L, 2L),
+      (1L, "z", 1L, 1L, 1L), (1L, "x", 1L, 0L, 2L)))
+  }
+
+  test("pii redaction: email/ip/phone replaced (email first), counts from the original text") {
+    val d = Seq(
+      (0L, "mail me at john.doe+x@sub.example.co.uk or call +44 123 456 7890"),
+      (1L, "server at 192.168.0.1 and 10.0.0.255, no mail"),
+      (2L, "clean text with numbers 1234 and a dot. end")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Pii.redact(d).orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(out(0) === ((0L, "mail me at <EMAIL> or call <PHONE>", 1L, 0L, 1L)))
+    assert(out(1) === ((1L, "server at <IP> and <IP>, no mail", 0L, 2L, 0L)))
+    assert(out(2) === ((2L, "clean text with numbers 1234 and a dot. end", 0L, 0L, 0L)))
+  }
+
+  test("recrawl scheduling: changes, rate, staleness, priority — hand computed") {
+    import java.sql.Timestamp
+    val h = Seq(
+      // page 1: fetched at 0/10/20 s, one change (a->a->b)
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), "a", 0L),
+      (1L, Timestamp.valueOf("2024-01-01 00:00:10"), "a", 1L),
+      (1L, Timestamp.valueOf("2024-01-01 00:00:20"), "b", 2L),
+      // page 2: a single fetch — no interval observed
+      (2L, Timestamp.valueOf("2024-01-01 00:00:05"), "x", 3L),
+      // page 3: always changing; its last fetch (t=30) defines "now"
+      (3L, Timestamp.valueOf("2024-01-01 00:00:25"), "p", 4L),
+      (3L, Timestamp.valueOf("2024-01-01 00:00:30"), "q", 5L)
+    ).toDF("page", "ts", "sig", "fetch_id")
+    val out = graft.sched.Recrawl.schedule(h).orderBy("page")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out(0) === ((1L, 3L, 1L, 5000L, 10L, 50010L)))
+    assert(out(1) === ((2L, 1L, 0L, 0L, 25L, 25L)))
+    assert(out(2) === ((3L, 2L, 1L, 10000L, 0L, 0L)))
+  }
+
+  test("blocklist: exact + subtree blocking on dot boundaries; pure mirror agrees") {
+    val hosts = Seq(
+      (0L, "ads.bad.com"), (1L, "bad.com"), (2L, "notbad.com"),
+      (3L, "good.org"), (4L, "deep.sub.ads.bad.com"), (5L, "bad.com.evil.net"))
+    val rows = hosts.toDF("doc_id", "host")
+    val bl = Seq("bad.com").toDF("dom")
+    val kept = graft.url.Blocklist.filterBlocked(rows, bl)
+      .select("doc_id").as[Long].collect().toSet
+    // notbad.com survives (no dot boundary); bad.com.evil.net is NOT under bad.com
+    assert(kept === Set(2L, 3L, 5L))
+    for ((id, host) <- hosts)
+      assert(graft.url.Blocklist.blockedBy(host, "bad.com") === !kept.contains(id),
+        s"pure/column drift at $host")
+  }
+
   test("winnowing fingerprints: shared content shares fingerprints, determinism") {
     val fps = docs.select(col("doc_id"), TextAnalysis.fingerprintUdf()(col("text")).as("fp"))
       .as[(Long, Array[Long])].collect().toMap

@@ -297,4 +297,24 @@ class PlanSpec extends AnyFunSuite {
     val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(nEx == 1, s"expected 1 hash exchange (group counts), got $nEx:\n$plan")
   }
+
+  test("blocklist: suffix-chain turns subtree match into equi-joins — no nested loop") {
+    val df = SparkEntry.queries("qd_blocklist")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"subtree blocking must be equi-joins, never a theta/nested loop:\n$plan")
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      s"expected semi (suffix hit) + anti (survivors) joins:\n$plan")
+  }
+
+  test("recrawl: ONE page-key shuffle serves both the lag window and the aggregate") {
+    val df = SparkEntry.queries("qd_recrawl")(spark, dir)
+    val plan = planOf(df)
+    // window partitionBy(page) and groupBy(page) share hashpartitioning;
+    // the data-derived "now" is a map-side partial max on a 1-row branch
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx == 1, s"expected 1 hash exchange (page key, reused), got $nEx:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"the now-timestamp branch must partially aggregate map-side:\n$plan")
+  }
 }
