@@ -450,6 +450,37 @@ object SparkEntry {
         explode(graft.extract.Extract.sitemapLocsCol(col("xml"))).as("loc"))
         .orderBy("source", "loc")
     }),
+    // crawl-trap detection: src0/src1 synthesize calendar-style generated
+    // URL spaces (one template, many URLs); the rest are authored (5 urls)
+    "qd_traps" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").select(col("source").as("host"),
+        when(col("source").isin("src0", "src1"),
+          concat(lit("http://"), col("source"), lit(".test/cal/"),
+            col("doc_id").cast("string"), lit("/day")))
+          .otherwise(concat(lit("http://"), col("source"), lit(".test/page/"),
+            (col("doc_id") % 5).cast("string"))).as("url"))
+      graft.url.Traps.detect(urls, minUrls = 10, minRatioBp = 50000)
+        .orderBy("host")
+    }),
+    // registrable-domain extraction under a 4-entry public-suffix list;
+    // covers longest-match (co.uk over uk), deep subdomains, hosts that
+    // ARE a suffix (null registrable), and the default last-label rule
+    "qd_registrable" -> ((s, dir) => {
+      import s.implicits._
+      val hosts = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("www."), col("source"), lit(".co.uk")))
+          .when(col("doc_id") % 4 === 1, concat(col("source"), lit(".example.com")))
+          .when(col("doc_id") % 4 === 2, concat(lit("a.b."), col("source"), lit(".org")))
+          .otherwise(lit("co.uk")).as("host"))
+      val psl = Seq("co.uk", "com", "org", "uk").toDF("sfx")
+      graft.url.DomainSuffix.annotate(hosts, psl)
+        .select("doc_id", "host", "public_suffix", "registrable")
+        .orderBy("doc_id")
+    }),
+    // per-language corpus report with EXACT histogram percentiles
+    "qd_corpus_stats" -> ((s, dir) =>
+      TextAnalysis.corpusStats(t(s, dir, "documents")).orderBy("lang")),
     "qd_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"))
         .select("doc_id", "n_words", "punct_ratio", "stopword_ratio", "mean_word_len", "quality")
@@ -821,6 +852,55 @@ object SparkEntry {
                FROM e GROUP BY 1),
          u AS (SELECT source, unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)) AS loc0 FROM m)
          SELECT source, trim(loc0) AS loc FROM u ORDER BY source, loc""",
+    "qd_traps" ->
+      """WITH u AS (SELECT source AS host,
+                CASE WHEN source IN ('src0','src1')
+                  THEN 'http://' || source || '.test/cal/' || doc_id || '/day'
+                  ELSE 'http://' || source || '.test/page/' || (doc_id % 5) END AS url
+              FROM documents),
+         c AS (SELECT host, url,
+                 regexp_replace(regexp_replace(url, '=[^&#]*', '=#', 'g'), '[0-9]+', '#', 'g') AS pat
+               FROM u),
+         h AS (SELECT host, count(DISTINCT url) AS n_urls, count(DISTINCT pat) AS n_patterns
+               FROM c GROUP BY 1)
+         SELECT host, n_urls::BIGINT AS n_urls, n_patterns::BIGINT AS n_patterns,
+           (n_urls * 10000 // n_patterns)::BIGINT AS ratio_bp,
+           (n_urls >= 10 AND (n_urls * 10000 // n_patterns) >= 50000) AS trap
+         FROM h ORDER BY host""",
+    // longest exact-entry suffix match: chain index i drops the first i
+    // labels; min matched i = longest public suffix; registrable = one
+    // label more; unmatched hosts fall back to the last-label default
+    "qd_registrable" ->
+      """WITH hosts AS (SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN 'www.' || source || '.co.uk'
+                  WHEN doc_id % 4 = 1 THEN source || '.example.com'
+                  WHEN doc_id % 4 = 2 THEN 'a.b.' || source || '.org'
+                  ELSE 'co.uk' END AS host FROM documents),
+         psl(sfx) AS (VALUES ('co.uk'), ('com'), ('org'), ('uk')),
+         d AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM hosts),
+         s AS (SELECT doc_id, i, array_to_string(parts[(i+1):len(parts)], '.') AS sfx
+               FROM d, unnest(range(len(parts))) u(i)),
+         m AS (SELECT s.doc_id, min(s.i) AS mi FROM s JOIN psl USING (sfx) GROUP BY 1),
+         r AS (SELECT d.doc_id, d.host, d.parts, coalesce(m.mi, len(d.parts) - 1) AS mi
+               FROM d LEFT JOIN m USING (doc_id))
+         SELECT doc_id, host,
+           array_to_string(parts[(mi+1):len(parts)], '.') AS public_suffix,
+           CASE WHEN mi > 0 THEN array_to_string(parts[mi:len(parts)], '.') END AS registrable
+         FROM r ORDER BY doc_id""",
+    "qd_corpus_stats" ->
+      """WITH tok AS (SELECT lang, count(*) AS n_docs,
+                sum(length(string_split(trim(text), ' ')))::BIGINT AS total_tokens
+              FROM documents GROUP BY 1),
+         hist AS (SELECT lang, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2),
+         cum AS (SELECT lang, v,
+                   sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+                   sum(c) OVER (PARTITION BY lang) AS n FROM hist),
+         p AS (SELECT lang,
+                 min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END)::BIGINT AS p50_chars,
+                 min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN v END)::BIGINT AS p90_chars
+               FROM cum GROUP BY 1)
+         SELECT lang, n_docs::BIGINT AS n_docs, total_tokens, p50_chars, p90_chars
+         FROM tok JOIN p USING (lang) ORDER BY lang""",
     "qd_dedup_delta" ->
       // brute-force cross-side word-3-shingle Jaccard: every (delta twin,
       // base doc) ordered pair — valid because banded recall is 1.0 here

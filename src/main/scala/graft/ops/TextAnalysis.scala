@@ -198,6 +198,39 @@ object TextAnalysis {
         col("score"), col("rk").cast("long").as("rk"))
   }
 
+  /** Per-language corpus report — doc counts, token totals, and EXACT
+    * integer percentiles of a bounded-domain value column (doc length,
+    * token count): the funnel numbers a curation run publishes alongside
+    * its output. Percentile p = the value at 1-based rank
+    * `ceil(n * p / 100)` of the ascending sort — computed WITHOUT a
+    * global sort via the value histogram: per (lang, value) counts
+    * (map-side combining), a running sum over each language's histogram
+    * (histogram size = distinct values, NOT corpus size — the window is
+    * over thousands of rows however large the corpus), and a min-value
+    * pick at the target rank. Exact, deterministic, all BIGINT — unlike
+    * approx_percentile, which is neither exact nor engine-portable.
+    */
+  def corpusStats(docs: DataFrame, textCol: String = "text",
+                  langCol: String = "lang",
+                  valueCol: String = "n_chars"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.groupBy(col(langCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(wsTokenCount(col(textCol))).cast("long").as("total_tokens"))
+    val hist = docs.select(col(langCol), col(valueCol).as("v"))
+      .groupBy(langCol, "v").agg(count(lit(1)).as("c"))
+    val byLang = Window.partitionBy(col(langCol))
+    val cum = hist
+      .withColumn("cum", sum("c").over(byLang.orderBy("v")))
+      .withColumn("n", sum("c").over(byLang))
+    val pcts = cum.groupBy(col(langCol)).agg(
+      min(when(col("cum") >= expr("(n * 50 + 99) div 100"), col("v")))
+        .cast("long").as("p50_chars"),
+      min(when(col("cum") >= expr("(n * 90 + 99) div 100"), col("v")))
+        .cast("long").as("p90_chars"))
+    tok.join(pcts, langCol)
+  }
+
   // ---------- token counting ----------
 
   /** whitespace token count (codegen) */

@@ -255,6 +255,52 @@ class OpsSpec extends AnyFunSuite {
         s"pure/column drift at $host")
   }
 
+  test("trap detection: generated URL spaces flag, authored sites and thin hosts do not") {
+    val urls =
+      (0 until 30).map(i => ("trap.test", s"http://trap.test/cal/2024/$i/day")) ++
+        (0 until 12).map(i => ("site.test", "http://site.test/" + ('a' + i).toChar.toString)) ++
+        (0 until 6).map(i => ("tiny.test", s"http://tiny.test/p/$i"))
+    val out = graft.url.Traps.detect(urls.toDF("host", "url"), minUrls = 10, minRatioBp = 50000)
+      .orderBy("host").as[(String, Long, Long, Long, Boolean)].collect()
+    assert(out(0) === (("site.test", 12L, 12L, 10000L, false))) // authored: ratio 1
+    assert(out(1) === (("tiny.test", 6L, 1L, 60000L, false))) // templated but thin
+    assert(out(2) === (("trap.test", 30L, 1L, 300000L, true)))
+    // query-param values collapse too; fragments survive (value stops at # or &)
+    assert(graft.url.Traps.collapseUrl("http://h/p?id=123&cat=abc") === "http://h/p?id=#&cat=#")
+    assert(graft.url.Traps.collapseUrl("http://h/x?a=1#frag2024") === "http://h/x?a=##frag#")
+  }
+
+  test("registrable domain: longest suffix wins; suffix-hosts null; default last-label rule; pure ≡ column") {
+    val psl = Set("co.uk", "com", "org", "uk")
+    assert(graft.url.DomainSuffix.resolve("www.x.co.uk", psl) === (("co.uk", Some("x.co.uk"))))
+    assert(graft.url.DomainSuffix.resolve("a.b.x.org", psl) === (("org", Some("x.org"))))
+    assert(graft.url.DomainSuffix.resolve("co.uk", psl) === (("co.uk", None)))
+    assert(graft.url.DomainSuffix.resolve("x.internal", psl) === (("internal", Some("x.internal"))))
+    val rows = Seq((0L, "www.x.co.uk"), (1L, "a.b.x.org"), (2L, "co.uk"), (3L, "x.internal"))
+    val out = graft.url.DomainSuffix.annotate(
+      rows.toDF("doc_id", "host"), psl.toSeq.toDF("sfx"))
+      .orderBy("doc_id")
+      .select("host", "public_suffix", "registrable")
+      .as[(String, String, Option[String])].collect()
+    for (((_, host), got) <- rows.zip(out)) {
+      val (sfx, reg) = graft.url.DomainSuffix.resolve(host, psl)
+      assert(got === ((host, sfx, reg)), s"pure/column drift at $host")
+    }
+  }
+
+  test("corpusStats: exact histogram percentiles, hand computed") {
+    val d = Seq(
+      (0L, "one two", "aa", 10L), (1L, "one", "aa", 20L),
+      (2L, "x y z", "aa", 30L), (3L, "x", "aa", 40L),
+      (4L, "single doc here", "bb", 7L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val out = TextAnalysis.corpusStats(d).orderBy("lang")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // aa: n=4, values 10..40 — p50 rank ceil(2)=2 -> 20; p90 rank ceil(3.6)=4 -> 40
+    assert(out(0) === (("aa", 4L, 7L, 20L, 40L)))
+    assert(out(1) === (("bb", 1L, 3L, 7L, 7L)))
+  }
+
   test("winnowing fingerprints: shared content shares fingerprints, determinism") {
     val fps = docs.select(col("doc_id"), TextAnalysis.fingerprintUdf()(col("text")).as("fp"))
       .as[(Long, Array[Long])].collect().toMap
