@@ -95,6 +95,13 @@ object UrlPolicy {
   case object SameDomain extends UrlPolicy
   /** drop URLs whose path starts with any of the prefixes */
   final case class DenyPathPrefix(prefixes: Seq[String]) extends UrlPolicy
+  /** Drop URLs whose host equals, or sits under, any listed domain
+    * (subtree semantics: `ads.x.com` is denied by `x.com`) — the
+    * driver-known-config form of the blocklist; for list sizes beyond
+    * config scale use [[graft.url.Blocklist.filterBlocked]]'s
+    * suffix-chain join instead.
+    */
+  final case class DenyDomains(domains: Seq[String]) extends UrlPolicy
   /** all policies must pass */
   final case class And(policies: Seq[UrlPolicy]) extends UrlPolicy
 }

@@ -120,6 +120,27 @@ object Robots {
     * merges in document order, and `*` groups apply only when no named
     * token matches at all.
     */
+  /** `Sitemap:` directives, in document order. Per sitemaps.org the key
+    * is case-insensitive and the directive is GLOBAL — valid anywhere in
+    * the file, outside any User-agent group — so this is a separate pass
+    * from group parsing; duplicates dedup keeping first position. Feeds
+    * [[graft.extract.Extract.sitemapLocs]] for sitemap-seeded discovery.
+    */
+  def sitemapUrls(text: String): Vector[String] = {
+    if (text == null) return Vector.empty
+    val out = Vector.newBuilder[String]
+    val seen = scala.collection.mutable.HashSet[String]()
+    for (raw <- text.linesIterator) {
+      val line = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }.trim
+      val c = line.indexOf(':')
+      if (c > 0 && line.substring(0, c).trim.equalsIgnoreCase("sitemap")) {
+        val value = line.substring(c + 1).trim
+        if (value.nonEmpty && seen.add(value)) out += value
+      }
+    }
+    out.result()
+  }
+
   def parseRobotsTxt(host: String, text: String, agent: String = ""): RobotsRule = {
     // pass 1: the document as UA-token groups
     val groups = Vector.newBuilder[RuleGroup]

@@ -69,6 +69,51 @@ object Streaming {
     * ...RocksDBStateStoreProvider), which keeps shards off-heap/on-disk;
     * the default HDFS-backed store materializes values on the executor heap.
     */
+  /** Streaming per-host politeness: emit at most `budget` URLs per host
+    * per micro-batch; the overflow buffers in keyed state (FIFO, capped)
+    * and drains `budget`-at-a-time in later batches — the streaming
+    * analog of the batch loop's per-host fetch budget. Emission order is
+    * deterministic: the carried queue first, then the batch's new
+    * arrivals sorted by URL (iterator order off a shuffle is not stable;
+    * the sort makes replay/recovery byte-identical).
+    *
+    * State per host = the buffered URL queue, capped at `maxBuffer` —
+    * beyond it, excess URLs are DROPPED LOUDLY into the emitted stream as
+    * a `dropped:` marker row rather than silently vanishing or growing
+    * state without bound (a trap host upstream should be caught by
+    * [[graft.url.Traps]], not buffered forever). With
+    * `drainTimeoutMs > 0`, hosts with buffered work and no fresh input
+    * re-fire on a processing-time timeout and keep draining; 0 keeps the
+    * operator fully data-driven (a batch mentioning the host drains it),
+    * which is also the deterministic mode the spec exercises. Same
+    * RocksDB state-store note as [[streamingSeenFilter]].
+    */
+  def rateLimitPerHost(spark: SparkSession, urls: Dataset[UrlEvent],
+                       budget: Int, maxBuffer: Int = 100000,
+                       drainTimeoutMs: Long = 0L): Dataset[UrlEvent] = {
+    import spark.implicits._
+    require(budget > 0 && maxBuffer >= 0)
+    val timeout =
+      if (drainTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    urls.groupByKey(_.host)
+      .flatMapGroupsWithState[Vector[String], UrlEvent](
+        OutputMode.Append(), timeout) {
+        (host: String, rows: Iterator[UrlEvent], state: GroupState[Vector[String]]) =>
+          val queued = state.getOption.getOrElse(Vector.empty)
+          val fresh = rows.map(_.url).toVector.sorted
+          val all = queued ++ fresh
+          val (emit, rest) = all.splitAt(budget)
+          val (keep, overflow) = rest.splitAt(maxBuffer)
+          if (keep.nonEmpty) {
+            state.update(keep)
+            if (drainTimeoutMs > 0) state.setTimeoutDuration(drainTimeoutMs)
+          } else state.remove()
+          (emit.map(UrlEvent(host, _)) ++
+            overflow.map(u => UrlEvent(host, s"dropped:$u"))).iterator
+      }
+  }
+
   def streamingSeenFilter(spark: SparkSession, urls: Dataset[UrlEvent],
                           bands: Int = 64): Dataset[String] = {
     import spark.implicits._

@@ -18,6 +18,7 @@ object Policy extends Serializable {
     case UrlPolicy.DenyPathPrefix(prefixes) =>
       val path = Urls.pathOf(url)
       !prefixes.exists(path.startsWith)
+    case UrlPolicy.DenyDomains(ds) => !ds.exists(Blocklist.blockedBy(host, _))
     case UrlPolicy.And(ps) => ps.forall(allows(_, url, host, seedHosts))
   }
 
@@ -34,6 +35,11 @@ object Policy extends Serializable {
     case UrlPolicy.DenyPathPrefix(prefixes) =>
       val path = UrlFunctions.pathOfUdf(url)
       prefixes.map(pre => !path.startsWith(lit(pre))).reduceOption(_ && _).getOrElse(lit(true))
+    case UrlPolicy.DenyDomains(ds) =>
+      // config-scale list → codegen predicate chain (same stance as the
+      // seed-host isin); byte-semantics of Blocklist.blockedBy exactly
+      ds.map(d => !(host === d || host.endsWith("." + d)))
+        .reduceOption(_ && _).getOrElse(lit(true))
     case UrlPolicy.And(ps) =>
       ps.map(allowsCol(_, url, host, seedHosts)).reduceOption(_ && _).getOrElse(lit(true))
   }

@@ -79,6 +79,22 @@ class CrawlParitySpec extends AnyFunSuite {
       CrawlConfig(policy = UrlPolicy.AllowAll, maxDepth = 4), Seq(Fixtures.urlOf(1, 0)))
   }
 
+  test("denyDomains policy: blocked host's pages never crawled, identically on both paths") {
+    // cross-domain crawl with h2.test deny-listed: its links are
+    // discovered but always dropped by policy — parity on order AND on
+    // the blocked host actually mattering (non-vacuous)
+    val pages = Fixtures.generate(fix)
+    val cfg = CrawlConfig(
+      policy = UrlPolicy.And(Seq(
+        UrlPolicy.AllowAll, UrlPolicy.DenyDomains(Seq("h2.test")))),
+      maxDepth = 4)
+    val ref = graft.ref.ReferenceCrawl.crawl(
+      pages.map(p => p.url -> p).toMap, Seq.empty, Seq(Fixtures.urlOf(1, 0)), cfg, Map.empty)
+    assert(pages.exists(_.url.contains("h2.test")), "fixture must have the denied host")
+    assert(!ref.order.exists(_.url.contains("h2.test")), "denied host leaked into the oracle crawl")
+    runBothPages("denydomains", pages, cfg, Seq(Fixtures.urlOf(1, 0)))
+  }
+
   test("politeness: per-host budget defers overflow to later rounds") {
     runBoth("politeness", fix, CrawlConfig(hostBudget = 2), Seq(Fixtures.urlOf(0, 0)))
   }

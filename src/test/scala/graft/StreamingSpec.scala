@@ -125,4 +125,55 @@ class StreamingSpec extends AnyFunSuite {
       .as[Int].head()
     assert(sig === 16)
   }
+
+  test("streaming per-host rate limiter: budget per batch, FIFO carry, loud buffer drops") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[UrlEvent]
+    val q = Streaming.rateLimitPerHost(spark, in.toDS(), budget = 2, maxBuffer = 2)
+      .writeStream.format("memory").queryName("rate_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 5 urls for h0 in one batch at budget 2, buffer 2: a,b emit;
+      // c,d buffer; e overflows the buffer -> loud marker row
+      in.addData(Seq("e", "d", "c", "b", "a").map(u => UrlEvent("h0", u)): _*)
+      q.processAllAvailable()
+      val batch1 = spark.table("rate_stream").as[UrlEvent].collect().toList
+      assert(batch1.map(_.url).sorted === List("a", "b", "dropped:e"))
+      // next batch mentioning h0 drains the carried queue FIRST (c,d
+      // before the new f); h1 has its own independent budget
+      in.addData(UrlEvent("h0", "f"), UrlEvent("h1", "x"))
+      q.processAllAvailable()
+      val all = spark.table("rate_stream").as[UrlEvent].collect().toList
+      val h0SecondBatch = all.filter(e => e.host == "h0").map(_.url)
+        .filterNot(batch1.map(_.url).contains)
+      assert(h0SecondBatch.sorted === List("c", "d"), "carried FIFO queue drains before new urls")
+      assert(all.exists(e => e.host == "h1" && e.url == "x"))
+      // third batch for h0 emits the remaining f
+      in.addData(UrlEvent("h0", "g"))
+      q.processAllAvailable()
+      val third = spark.table("rate_stream").as[UrlEvent].collect().toList
+        .filter(_.host == "h0").map(_.url)
+      assert(third.count(_ == "f") === 1 && third.count(_ == "g") === 1)
+    } finally q.stop()
+  }
+
+  test("robots Sitemap: directives parse globally, dedup, survive comments") {
+    val txt =
+      """# host robots
+        |User-agent: *
+        |Disallow: /tmp
+        |Sitemap: http://h0.test/sitemap.xml
+        |User-agent: bot
+        |Allow: /
+        |sitemap: http://h0.test/sitemap2.xml   # trailing comment
+        |Sitemap: http://h0.test/sitemap.xml
+        |Sitemap:
+        |""".stripMargin
+    assert(graft.robots.Robots.sitemapUrls(txt) ===
+      Vector("http://h0.test/sitemap.xml", "http://h0.test/sitemap2.xml"))
+    assert(graft.robots.Robots.sitemapUrls(null) === Vector.empty)
+    // group parsing is unaffected by interleaved Sitemap lines
+    val rule = graft.robots.Robots.parseRobotsTxt("h0.test", txt)
+    assert(rule.disallow === Seq("/tmp"))
+  }
 }
