@@ -307,6 +307,24 @@ class PlanSpec extends AnyFunSuite {
       s"expected semi (suffix hit) + anti (survivors) joins:\n$plan")
   }
 
+  test("registrable domain: PSL broadcasts into an equi semi-join, never a per-pattern scan") {
+    val df = SparkEntry.queries("qd_registrable")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"suffix-list membership must be a broadcast hash join:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"longest-match must not scan patterns per row:\n$plan")
+  }
+
+  test("corpusStats: exact percentiles never single-partition the corpus") {
+    val df = SparkEntry.queries("qd_corpus_stats")(spark, dir)
+    val plan = planOf(df)
+    // the naive exact-percentile (global row_number over the corpus) plans
+    // an Exchange SinglePartition; the histogram form must not
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"percentile path must stay partitioned by language:\n$plan")
+  }
+
   test("recrawl: ONE page-key shuffle serves both the lag window and the aggregate") {
     val df = SparkEntry.queries("qd_recrawl")(spark, dir)
     val plan = planOf(df)
