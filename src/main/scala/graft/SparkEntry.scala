@@ -426,6 +426,21 @@ object SparkEntry {
         t(s, dir, "events").select(col("user_id").as("page"), col("ts"),
           col("event_type").as("sig"), col("event_id").as("fetch_id")))
         .orderBy("page")),
+    // scheduler -> frontier: top-2 pages per host group by revisit
+    // priority (WindowGroupLimit prunes before the host-group exchange)
+    "qd_recrawl_rank" -> ((s, dir) => {
+      val sched = graft.sched.Recrawl.schedule(
+        t(s, dir, "events").select(col("user_id").as("page"), col("ts"),
+          col("event_type").as("sig"), col("event_id").as("fetch_id")))
+      val w = Window.partitionBy(col("page") % 7)
+        .orderBy(col("priority").desc, col("page"))
+      sched.withColumn("hostg", col("page") % 7)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select(col("hostg"), col("page"), col("priority"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("hostg", "rk")
+    }),
     // domain blocklist with subdomain subtree semantics via the
     // suffix-chain equi anti-join (never a LIKE nested loop)
     "qd_blocklist" -> ((s, dir) => {
@@ -580,6 +595,25 @@ object SparkEntry {
     * shard packing appended), so the composition is literally the same
     * SQL plus a suffix.
     */
+  /** shared CTE chain for qd_recrawl / qd_recrawl_rank — the ranked form
+    * is literally the scheduler SQL plus a window suffix
+    */
+  private val recrawlCtes: String =
+    """WITH h AS (SELECT user_id AS page, ts, event_type AS sig,
+                lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+         p AS (SELECT page, count(*) AS n_fetches,
+                 count(CASE WHEN prev IS NOT NULL AND prev <> sig THEN 1 END) AS n_changes,
+                 max(epoch_ms(ts)) AS last_ms
+               FROM h GROUP BY 1),
+         nw AS (SELECT max(epoch_ms(ts)) AS nm FROM h),
+         sched AS (SELECT page, n_fetches::BIGINT AS n_fetches, n_changes::BIGINT AS n_changes,
+           (CASE WHEN n_fetches > 1 THEN n_changes * 10000 // (n_fetches - 1) ELSE 0 END)::BIGINT AS change_rate_bp,
+           ((nm - last_ms) // 1000)::BIGINT AS staleness_s,
+           (((nm - last_ms) // 1000)
+             * ((CASE WHEN n_fetches > 1 THEN n_changes * 10000 // (n_fetches - 1) ELSE 0 END) + 1))::BIGINT AS priority
+           FROM p, nw)"""
+
   private val curateCtes: String =
     """WITH f AS (
            SELECT doc_id, text,
@@ -822,20 +856,16 @@ object SparkEntry {
          FROM inj ORDER BY doc_id""",
     // all-BIGINT change-frequency scheduler; "now" = max ts of the input
     "qd_recrawl" ->
-      """WITH h AS (SELECT user_id AS page, ts, event_type AS sig,
-                lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-              FROM events),
-         p AS (SELECT page, count(*) AS n_fetches,
-                 count(CASE WHEN prev IS NOT NULL AND prev <> sig THEN 1 END) AS n_changes,
-                 max(epoch_ms(ts)) AS last_ms
-               FROM h GROUP BY 1),
-         nw AS (SELECT max(epoch_ms(ts)) AS nm FROM h)
-         SELECT page, n_fetches::BIGINT AS n_fetches, n_changes::BIGINT AS n_changes,
-           (CASE WHEN n_fetches > 1 THEN n_changes * 10000 // (n_fetches - 1) ELSE 0 END)::BIGINT AS change_rate_bp,
-           ((nm - last_ms) // 1000)::BIGINT AS staleness_s,
-           (((nm - last_ms) // 1000)
-             * ((CASE WHEN n_fetches > 1 THEN n_changes * 10000 // (n_fetches - 1) ELSE 0 END) + 1))::BIGINT AS priority
-         FROM p, nw ORDER BY page""",
+      s"""$recrawlCtes
+         SELECT * FROM sched ORDER BY page""",
+    // the scheduler feeding the frontier: top-2 pages per host group by
+    // revisit priority — shared CTE chain + a rank suffix
+    "qd_recrawl_rank" ->
+      s"""$recrawlCtes,
+         r AS (SELECT page % 7 AS hostg, page, priority,
+                 row_number() OVER (PARTITION BY page % 7 ORDER BY priority DESC, page) AS rk
+               FROM sched)
+         SELECT hostg, page, priority, rk FROM r WHERE rk <= 2 ORDER BY hostg, rk""",
     "qd_blocklist" ->
       """WITH d AS (SELECT doc_id, 'www.' || source || '.example.com' AS host FROM documents),
          b(dom) AS (VALUES ('src3.example.com'), ('src7.example.com'),

@@ -33,6 +33,16 @@ class ExtractSpec extends AnyFunSuite {
     assert(Extract.sitemapLocs("<urlset></urlset>") === Vector.empty)
   }
 
+  test("sitemap-seeded discovery: robots Sitemap directive -> sitemap page -> loc seeds") {
+    val robotsTxt = "User-agent: *\nDisallow: /tmp\nSitemap: http://h0.test/sitemap.xml"
+    val fetched = Map("http://h0.test/sitemap.xml" ->
+      ("<urlset><url><loc>http://h0.test/p/0</loc></url>" +
+        "<url><loc>http://h0.test/p/1</loc></url></urlset>"))
+    val seeds = graft.robots.Robots.sitemapUrls(robotsTxt)
+      .flatMap(u => fetched.get(u).toVector.flatMap(Extract.sitemapLocs))
+    assert(seeds === Vector("http://h0.test/p/0", "http://h0.test/p/1"))
+  }
+
   test("per-row invariant: extractText(html) == text, byte-identical, over the fixture web") {
     val cfg = FixtureConfig(nHosts = 6, maxPagesPerHost = 24)
     val pages = Fixtures.generate(cfg)
