@@ -589,12 +589,6 @@ object SparkEntry {
        WHERE bit_count(xor(sa.u, sb.u)) <= 3
        ORDER BY p.a, p.b"""
 
-  /** The curate pipeline oracle's CTE chain — per-input-doc filter
-    * verdicts (fverdict) + dedup assignment (dd.dup_of) over survivors.
-    * Shared by qd_curate (audit projection) and qd_curate_pack (kept-doc
-    * shard packing appended), so the composition is literally the same
-    * SQL plus a suffix.
-    */
   /** shared CTE chain for qd_recrawl / qd_recrawl_rank — the ranked form
     * is literally the scheduler SQL plus a window suffix
     */
@@ -614,6 +608,12 @@ object SparkEntry {
              * ((CASE WHEN n_fetches > 1 THEN n_changes * 10000 // (n_fetches - 1) ELSE 0 END) + 1))::BIGINT AS priority
            FROM p, nw)"""
 
+  /** The curate pipeline oracle's CTE chain — per-input-doc filter
+    * verdicts (fverdict) + dedup assignment (dd.dup_of) over survivors.
+    * Shared by qd_curate (audit projection) and qd_curate_pack (kept-doc
+    * shard packing appended), so the composition is literally the same
+    * SQL plus a suffix.
+    */
   private val curateCtes: String =
     """WITH f AS (
            SELECT doc_id, text,
@@ -926,10 +926,10 @@ object SparkEntry {
                    sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
                    sum(c) OVER (PARTITION BY lang) AS n FROM hist),
          p AS (SELECT lang,
-                 min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END)::BIGINT AS p50_chars,
-                 min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN v END)::BIGINT AS p90_chars
+                 min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END)::BIGINT AS p50_n_chars,
+                 min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN v END)::BIGINT AS p90_n_chars
                FROM cum GROUP BY 1)
-         SELECT lang, n_docs::BIGINT AS n_docs, total_tokens, p50_chars, p90_chars
+         SELECT lang, n_docs::BIGINT AS n_docs, total_tokens, p50_n_chars, p90_n_chars
          FROM tok JOIN p USING (lang) ORDER BY lang""",
     "qd_dedup_delta" ->
       // brute-force cross-side word-3-shingle Jaccard: every (delta twin,

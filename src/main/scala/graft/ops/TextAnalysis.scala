@@ -225,9 +225,9 @@ object TextAnalysis {
       .withColumn("n", sum("c").over(byLang))
     val pcts = cum.groupBy(col(langCol)).agg(
       min(when(col("cum") >= expr("(n * 50 + 99) div 100"), col("v")))
-        .cast("long").as("p50_chars"),
+        .cast("long").as(s"p50_$valueCol"),
       min(when(col("cum") >= expr("(n * 90 + 99) div 100"), col("v")))
-        .cast("long").as("p90_chars"))
+        .cast("long").as(s"p90_$valueCol"))
     tok.join(pcts, langCol)
   }
 

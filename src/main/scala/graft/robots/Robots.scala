@@ -99,27 +99,6 @@ object Robots {
   private final case class RuleGroup(agents: Vector[String], dis: Vector[String],
                                      alw: Vector[String], delayMs: Long)
 
-  /** Parse ONE robots.txt body into the engine's [[RobotsRule]] model
-    * (REP / RFC 9309, matching what the broadcast filter evaluates):
-    * the selected group's Disallow/Allow path patterns (stored verbatim —
-    * `*`/trailing-`$` wildcards are interpreted by the MATCHERS, see
-    * [[patternMatches]]/[[allowedCol]]) plus Crawl-delay (seconds,
-    * fractional ok → ms). Consecutive User-agent lines share a group;
-    * keys are case-insensitive; `#` comments strip; an EMPTY `Disallow:`
-    * value means allow-all and adds no prefix; an unparseable body or no
-    * applicable group yields the permissive empty rule.
-    *
-    * GROUP SELECTION (RFC 9309 §2.2.1): with the default `agent = ""` the
-    * engine crawls as an anonymous agent and only `User-agent: *` groups
-    * apply — the per-host broadcast-rule model the reference contract
-    * (BASELINE.json:6) materializes. Pass the crawler's product token as
-    * `agent` to honor agent-specific groups: a group's UA token matches
-    * when it is a case-insensitive prefix of the product token, the
-    * LONGEST matching token wins (the reference implementations'
-    * most-specific-group rule), every group carrying a winning token
-    * merges in document order, and `*` groups apply only when no named
-    * token matches at all.
-    */
   /** `Sitemap:` directives, in document order. Per sitemaps.org the key
     * is case-insensitive and the directive is GLOBAL — valid anywhere in
     * the file, outside any User-agent group — so this is a separate pass
@@ -141,6 +120,27 @@ object Robots {
     out.result()
   }
 
+  /** Parse ONE robots.txt body into the engine's [[RobotsRule]] model
+    * (REP / RFC 9309, matching what the broadcast filter evaluates):
+    * the selected group's Disallow/Allow path patterns (stored verbatim —
+    * `*`/trailing-`$` wildcards are interpreted by the MATCHERS, see
+    * [[patternMatches]]/[[allowedCol]]) plus Crawl-delay (seconds,
+    * fractional ok → ms). Consecutive User-agent lines share a group;
+    * keys are case-insensitive; `#` comments strip; an EMPTY `Disallow:`
+    * value means allow-all and adds no prefix; an unparseable body or no
+    * applicable group yields the permissive empty rule.
+    *
+    * GROUP SELECTION (RFC 9309 §2.2.1): with the default `agent = ""` the
+    * engine crawls as an anonymous agent and only `User-agent: *` groups
+    * apply — the per-host broadcast-rule model the reference contract
+    * (BASELINE.json:6) materializes. Pass the crawler's product token as
+    * `agent` to honor agent-specific groups: a group's UA token matches
+    * when it is a case-insensitive prefix of the product token, the
+    * LONGEST matching token wins (the reference implementations'
+    * most-specific-group rule), every group carrying a winning token
+    * merges in document order, and `*` groups apply only when no named
+    * token matches at all.
+    */
   def parseRobotsTxt(host: String, text: String, agent: String = ""): RobotsRule = {
     // pass 1: the document as UA-token groups
     val groups = Vector.newBuilder[RuleGroup]

@@ -52,14 +52,17 @@ object Recrawl {
     val withPrev = history.select(
       col(pageCol), col(tsCol), col(sigCol),
       lag(col(sigCol), 1).over(w).as("__prev"))
-    // "now" reads the RAW history (a map-side partial max), never the
-    // windowed projection — the one-row branch must not shuffle
-    val nowMs = history.agg(max(unix_millis(col(tsCol).cast("timestamp"))).as("__now_ms"))
     val perPage = withPrev.groupBy(col(pageCol)).agg(
       count(lit(1)).as("n_fetches"),
       count(when(col("__prev").isNotNull && col("__prev") =!= col(sigCol), 1))
         .as("n_changes"),
       max(tsMs).as("__last_ms"))
+    // "now" branch reads the RAW history again ON PURPOSE: column
+    // pruning reduces that scan to the ts column alone with a map-side
+    // partial max and NO shuffle, which is strictly cheaper than the
+    // alternative (deriving it from perPage re-runs the page-key
+    // exchange + per-partition window sort just to fold one row)
+    val nowMs = history.agg(max(unix_millis(col(tsCol).cast("timestamp"))).as("__now_ms"))
     perPage.crossJoin(broadcast(nowMs)).select(
       col(pageCol),
       col("n_fetches"),

@@ -51,24 +51,6 @@ object Streaming {
     dd.drop("__ch")
   }
 
-  /** Streaming URL-seen filter: emits each URL the first time it is ever
-    * seen. Designed to BOUND per-key state at web scale:
-    *
-    *   - state key = (host, urlHash mod `bands`): a mega-host's seen set
-    *     splits across `bands` independent state shards instead of one
-    *     unbounded Set per host — no single state entry holds a whole host.
-    *   - state value = Set of 8-byte xxhash64 urlHashes, never URL strings
-    *     (~10x narrower). Membership is hash-exact: a 64-bit collision
-    *     would suppress a genuinely-new URL; at streaming-ingest rates this
-    *     is ~n²/2^65 per shard. The batch loop's sharded-bloom + EXACT
-    *     anti-join remains the 10^10-scale path; this is the
-    *     streaming-ingest variant.
-    *
-    * REQUIRED at scale: the RocksDB state-store provider
-    * (spark.sql.streaming.stateStore.providerClass =
-    * ...RocksDBStateStoreProvider), which keeps shards off-heap/on-disk;
-    * the default HDFS-backed store materializes values on the executor heap.
-    */
   /** Streaming per-host politeness: emit at most `budget` URLs per host
     * per micro-batch; the overflow buffers in keyed state (FIFO, capped)
     * and drains `budget`-at-a-time in later batches — the streaming
@@ -114,6 +96,24 @@ object Streaming {
       }
   }
 
+  /** Streaming URL-seen filter: emits each URL the first time it is ever
+    * seen. Designed to BOUND per-key state at web scale:
+    *
+    *   - state key = (host, urlHash mod `bands`): a mega-host's seen set
+    *     splits across `bands` independent state shards instead of one
+    *     unbounded Set per host — no single state entry holds a whole host.
+    *   - state value = Set of 8-byte xxhash64 urlHashes, never URL strings
+    *     (~10x narrower). Membership is hash-exact: a 64-bit collision
+    *     would suppress a genuinely-new URL; at streaming-ingest rates this
+    *     is ~n²/2^65 per shard. The batch loop's sharded-bloom + EXACT
+    *     anti-join remains the 10^10-scale path; this is the
+    *     streaming-ingest variant.
+    *
+    * REQUIRED at scale: the RocksDB state-store provider
+    * (spark.sql.streaming.stateStore.providerClass =
+    * ...RocksDBStateStoreProvider), which keeps shards off-heap/on-disk;
+    * the default HDFS-backed store materializes values on the executor heap.
+    */
   def streamingSeenFilter(spark: SparkSession, urls: Dataset[UrlEvent],
                           bands: Int = 64): Dataset[String] = {
     import spark.implicits._

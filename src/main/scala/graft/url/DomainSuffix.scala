@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   * published list.
   *
   * Scale shape: the host's dot-suffix chain explodes map-side (bounded
-  * by label count, ~4-6), equi-joins the suffix list (broadcast at the
-  * published list's ~10k size, shuffle-clean beyond), and the longest
-  * match is a min-index aggregate on the row key — no nested loop, no
-  * per-pattern scan, same pinned shape as [[Blocklist]].
+  * by label count, ~4-6; [[Blocklist.suffixChain]], one split per row),
+  * equi-joins the suffix list (the planner broadcasts at the published
+  * list's ~10k size and shuffle-joins beyond — no forced hint), and the
+  * longest match is a min-index aggregate keyed on (id, host) — correct
+  * even when ids repeat with different hosts, no nested loop, no
+  * per-pattern scan.
   */
 object DomainSuffix {
 
@@ -40,15 +42,12 @@ object DomainSuffix {
   def annotate(rows: DataFrame, psl: DataFrame, hostCol: String = "host",
                idCol: String = "doc_id", sfxCol: String = "sfx"): DataFrame = {
     val withParts = rows.withColumn("__parts", split(col(hostCol), "\\."))
-    val chain = withParts.select(col(idCol),
-      posexplode(expr(
-        """transform(sequence(0, size(__parts) - 1),
-          |  i -> array_join(slice(__parts, i + 1, size(__parts) - i), '.'))"""
-          .stripMargin)).as(Seq("__i", "__sfx")))
+    val chain = withParts.select(col(idCol), col(hostCol),
+      posexplode(Blocklist.suffixChain(col("__parts"))).as(Seq("__i", "__sfx")))
     val matched = chain
-      .join(broadcast(psl.select(col(sfxCol).as("__sfx"))), Seq("__sfx"), "left_semi")
-      .groupBy(col(idCol)).agg(min(col("__i")).as("__mi"))
-    withParts.join(matched, Seq(idCol), "left")
+      .join(psl.select(col(sfxCol).as("__sfx")), Seq("__sfx"), "left_semi")
+      .groupBy(col(idCol), col(hostCol)).agg(min(col("__i")).as("__mi"))
+    withParts.join(matched, Seq(idCol, hostCol), "left")
       .withColumn("__mi", coalesce(col("__mi"), size(col("__parts")) - 1))
       .withColumn("public_suffix",
         expr("array_join(slice(__parts, __mi + 1, size(__parts) - __mi), '.')"))

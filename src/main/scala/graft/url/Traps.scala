@@ -44,7 +44,11 @@ object Traps {
   def detect(urls: DataFrame, hostCol: String = "host",
              urlCol: String = "url", minUrls: Long = 100L,
              minRatioBp: Long = 50000L): DataFrame = {
+    // NULL urls are not URLs: dropped up front, which also guarantees
+    // n_patterns >= 1 for every surviving host (the div below is safe
+    // under ANSI; a host with only NULL rows simply doesn't report)
     val pairs = urls
+      .filter(col(urlCol).isNotNull)
       .select(col(hostCol), col(urlCol),
         collapseUrl(col(urlCol)).as("__pat"))
     val perHost = pairs.groupBy(col(hostCol)).agg(

@@ -253,6 +253,23 @@ class OpsSpec extends AnyFunSuite {
     for ((id, host) <- hosts)
       assert(graft.url.Blocklist.blockedBy(host, "bad.com") === !kept.contains(id),
         s"pure/column drift at $host")
+    // verdicts are per (id, host) ROW: a repeated id with an innocent
+    // host must survive its sibling's blocking
+    val dupRows = Seq((1L, "ads.bad.com"), (1L, "good.org")).toDF("doc_id", "host")
+    val dupKept = graft.url.Blocklist.filterBlocked(dupRows, bl)
+      .select("host").as[String].collect().toSeq
+    assert(dupKept === Seq("good.org"))
+  }
+
+  test("registrable domain: duplicate ids with different hosts resolve independently") {
+    val psl = Seq("co.uk", "com").toDF("sfx")
+    val rows = Seq((1L, "x.co.uk"), (1L, "y.internal")).toDF("doc_id", "host")
+    val out = graft.url.DomainSuffix.annotate(rows, psl)
+      .select("host", "public_suffix", "registrable")
+      .as[(String, String, Option[String])].collect().toSet
+    assert(out === Set(
+      ("x.co.uk", "co.uk", Some("x.co.uk")),
+      ("y.internal", "internal", Some("y.internal"))))
   }
 
   test("trap detection: generated URL spaces flag, authored sites and thin hosts do not") {
