@@ -137,6 +137,34 @@ class CrawlLoop(
     */
   private def readSeen(k: Int): Seq[DataFrame] = store.readSeenParts(k, cfg.shards)
 
+  /** Trap detection at boundary b (cfg.trapDetectEvery): the distributed
+    * twin of [[graft.ref.ReferenceCrawl.detectTraps]] — [[graft.url.Traps]]
+    * over the seen set as of round b. The collect is host-cardinality
+    * bounded AND pre-filtered to flagged hosts only (a handful by
+    * definition of a trap), never URL data.
+    */
+  private def detectTraps(b: Int): Set[String] = {
+    val seenUrls = readSeen(b).reduce(_ unionByName _).select("url")
+      .withColumn("host", graft.url.UrlFunctions.hostOfUdf(col("url")))
+    graft.url.Traps
+      .detect(seenUrls, hostCol = "host", urlCol = "url",
+        minUrls = cfg.trapMinUrls, minRatioBp = cfg.trapMinRatioBp)
+      .filter(col("trap"))
+      .select("host").as[String].collect().toSet
+  }
+
+  /** trapped hosts fold into BOTH policies as an exact-host deny — the
+    * enqueue-time filter is then the ordinary policy evaluation, identical
+    * (by the shared ADT) to the oracle's `!trapHosts(h)` check
+    */
+  private def withTrapDeny(trapHosts: Set[String]): CrawlConfig =
+    if (trapHosts.isEmpty) cfg
+    else {
+      val deny = UrlPolicy.DenyHosts(trapHosts)
+      cfg.copy(policy = UrlPolicy.And(Seq(cfg.policy, deny)),
+        redirectPolicy = UrlPolicy.And(Seq(cfg.redirectPolicy, deny)))
+    }
+
   /** Run (or resume) the crawl to completion. */
   def run(seeds: Seq[String]): CrawlOutcome = {
     val (_, seedHosts) = seedFrontier(seeds)
@@ -153,12 +181,29 @@ class CrawlLoop(
     // fetch-ordinal watermark: committed per round so a resumed run mints
     // ordinals from exactly where the killed run left off
     var ordBase = store.committedMeta(k).flatMap(_.get("ord_next")).getOrElse(0L)
+    // RESUME-SAFE trap state: detection is a pure function of the seen set
+    // at each boundary, so a resumed run recomputes the union over all
+    // past boundaries and lands on the exact trap set the killed run had
+    // (traps are not monotone per boundary — a host's ratio can fall as
+    // authored URLs accumulate — hence the union, matching the oracle's
+    // accumulating `trapHosts ++=`)
+    var trapHosts: Set[String] =
+      if (cfg.trapDetectEvery <= 0) Set.empty
+      else (cfg.trapDetectEvery to startRound by cfg.trapDetectEvery)
+        .flatMap(detectTraps).toSet
     var rounds = 0
     while (frontierCount > 0 && k < cfg.maxRounds) {
       val t0 = System.nanoTime()
-      val frontier = readFrontier(k)
+      // trapped hosts purge from the carried frontier (exact host match,
+      // mirroring the oracle's boundary-time filterNot) …
+      val frontier0 = readFrontier(k)
+      val frontier =
+        if (trapHosts.isEmpty) frontier0
+        else frontier0.filter(!col("host").isin(trapHosts.toSeq.sorted: _*))
       val seen = readSeen(k)
-      val out = CrawlRound.execute(spark, cfg, k, frontier, frontierCount, pages,
+      // … and stop enqueuing via the policy composition
+      val out = CrawlRound.execute(spark, withTrapDeny(trapHosts), k, frontier,
+        frontierCount, pages,
         robots, robotsEmpty, seen, Some(store.bloomDir(k)), seedHosts, runners, ordBase)
 
       // The fresh write is the round's ONE materializing pass (its lineage
@@ -216,6 +261,10 @@ class CrawlLoop(
         "wall_ms" -> wallMs))
       k += 1
       rounds += 1
+      // trap boundary AFTER commit: driver-only state, recomputed on
+      // resume from exactly this committed seen set (see trapHosts init)
+      if (cfg.trapDetectEvery > 0 && k % cfg.trapDetectEvery == 0)
+        trapHosts ++= detectTraps(k)
     }
     CrawlOutcome(store, rounds, k - 1, cfg.shards)
   }

@@ -102,6 +102,11 @@ object UrlPolicy {
     * suffix-chain join instead.
     */
   final case class DenyDomains(domains: Seq[String]) extends UrlPolicy
+  /** Drop URLs whose host is EXACTLY one of the listed hosts (no subtree
+    * matching — the shape trap feedback needs: detection is per-host, so
+    * only that host blocks).
+    */
+  final case class DenyHosts(hosts: Set[String]) extends UrlPolicy
   /** all policies must pass */
   final case class And(policies: Seq[UrlPolicy]) extends UrlPolicy
 }
@@ -159,7 +164,20 @@ final case class CrawlConfig(
       * "" = only `User-agent: *` groups apply. Ignored when a pre-parsed
       * rules table is passed directly (agent selection happened at parse).
       */
-    agent: String = "")
+    agent: String = "",
+    /** Adaptive crawl-trap feedback: every K rounds, run
+      * [[graft.url.Traps]]-style detection over the URL-seen set and stop
+      * crawling hosts that cross the thresholds — carried frontier entries
+      * purge, new discoveries to those hosts stop enqueuing (so they are
+      * never marked seen). 0 = off. Detection is a pure function of the
+      * seen set at each boundary, so a resumed crawl recomputes the same
+      * trap set and parity with the sequential oracle holds exactly.
+      */
+    trapDetectEvery: Int = 0,
+    /** minimum distinct URLs before a host can be trapped (evidence floor) */
+    trapMinUrls: Long = 100L,
+    /** distinct-urls/distinct-patterns threshold in basis points */
+    trapMinRatioBp: Long = 50000L)
 
 /** A runner — the engine's typed-UDF surface (SURVEY.md §2 #12). Must be a
   * deterministic pure function for crawl parity; Left = error recorded under

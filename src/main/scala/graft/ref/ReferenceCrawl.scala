@@ -65,6 +65,21 @@ object ReferenceCrawl {
   private val entryOrd: Ordering[RefEntry] =
     Ordering.by((e: RefEntry) => (e.pord, e.pos))
 
+  /** Trap detection over a seen-URL set — the sequential mirror of
+    * [[graft.url.Traps.detect]]: per host, distinct URLs vs distinct
+    * collapsed patterns ([[graft.url.Traps.collapseUrl]], the shared
+    * spec), thresholds in the same units. Pure function of the seen set,
+    * so both executions (and a resumed run) derive identical trap sets.
+    */
+  def detectTraps(seen: Iterable[String], minUrls: Long, minRatioBp: Long): Set[String] =
+    seen.groupBy(Urls.hostOf).collect {
+      case (h, urls)
+          if urls.size >= minUrls &&
+            urls.size.toLong * 10000L /
+              urls.map(graft.url.Traps.collapseUrl).toSet.size >= minRatioBp =>
+        h
+    }.toSet
+
   def robotsAllows(rules: Map[String, RobotsRule], url: String, host: String): Boolean =
     rules.get(host) match {
       case None => true
@@ -99,6 +114,10 @@ object ReferenceCrawl {
       Urls.canonicalizeAbsolute(s).map(u => RefEntry(u, Urls.hostOf(u), 0, -1L, i.toLong, 0))
     }.filter(e => seen.add(e.url)).toVector
     val seedHosts = frontier.map(_.host).toSet
+    // adaptive trap feedback (cfg.trapDetectEvery): hosts trapped at a
+    // boundary stop enqueuing (never marked seen) and purge from the
+    // carried frontier — entries enqueued BEFORE the boundary stay seen
+    var trapHosts = Set.empty[String]
 
     var round = 0
     while (frontier.nonEmpty && round < cfg.maxRounds) {
@@ -138,7 +157,7 @@ object ReferenceCrawl {
                 for (t <- Urls.canonicalize(e.url, rawTarget)) {
                   val t2 = Policy.rewrite(cfg.rewrite, t)
                   val h = Urls.hostOf(t2)
-                  if (Policy.allows(cfg.redirectPolicy, t2, h, seedHosts))
+                  if (!trapHosts(h) && Policy.allows(cfg.redirectPolicy, t2, h, seedHosts))
                     candidates += RefEntry(t2, h, e.depth + 1, ord, 0L, 0)
                 }
             case None =>
@@ -152,7 +171,7 @@ object ReferenceCrawl {
                 for ((href, i) <- links.zipWithIndex; c <- Urls.canonicalize(e.url, href)) {
                   val c2 = Policy.rewrite(cfg.rewrite, c)
                   val h = Urls.hostOf(c2)
-                  if (Policy.allows(cfg.policy, c2, h, seedHosts))
+                  if (!trapHosts(h) && Policy.allows(cfg.policy, c2, h, seedHosts))
                     candidates += RefEntry(c2, h, e.depth + 1, ord, i.toLong, 0)
                 }
               }
@@ -162,6 +181,10 @@ object ReferenceCrawl {
       val fresh = candidates.result().sorted(entryOrd).filter(c => seen.add(c.url))
       frontier = deferred ++ retries.result() ++ fresh
       round += 1
+      if (cfg.trapDetectEvery > 0 && round % cfg.trapDetectEvery == 0) {
+        trapHosts ++= detectTraps(seen, cfg.trapMinUrls, cfg.trapMinRatioBp)
+        if (trapHosts.nonEmpty) frontier = frontier.filterNot(e => trapHosts(e.host))
+      }
     }
 
     RefResult(order.result(), seen.toSet, results.result(), round)

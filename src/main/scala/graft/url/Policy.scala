@@ -19,6 +19,7 @@ object Policy extends Serializable {
       val path = Urls.pathOf(url)
       !prefixes.exists(path.startsWith)
     case UrlPolicy.DenyDomains(ds) => !ds.exists(Blocklist.blockedBy(host, _))
+    case UrlPolicy.DenyHosts(hs) => !hs.contains(host)
     case UrlPolicy.And(ps) => ps.forall(allows(_, url, host, seedHosts))
   }
 
@@ -40,6 +41,8 @@ object Policy extends Serializable {
       // seed-host isin); byte-semantics of Blocklist.blockedBy exactly
       ds.map(d => !(host === d || host.endsWith("." + d)))
         .reduceOption(_ && _).getOrElse(lit(true))
+    case UrlPolicy.DenyHosts(hs) =>
+      if (hs.isEmpty) lit(true) else !host.isin(hs.toSeq.sorted: _*)
     case UrlPolicy.And(ps) =>
       ps.map(allowsCol(_, url, host, seedHosts)).reduceOption(_ && _).getOrElse(lit(true))
   }

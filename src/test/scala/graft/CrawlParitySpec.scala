@@ -95,6 +95,23 @@ class CrawlParitySpec extends AnyFunSuite {
     runBothPages("denydomains", pages, cfg, Seq(Fixtures.urlOf(1, 0)))
   }
 
+  test("trap feedback: hosts crossing the URL-space threshold stop being crawled, identically") {
+    // fixture paths are /p/N — every host collapses to one pattern, so
+    // trapMinUrls is the discriminator: hosts whose seen-URL count crosses
+    // it at a boundary get trapped and purged; smaller hosts crawl on
+    val pages = Fixtures.generate(fix)
+    val cfg = CrawlConfig(policy = UrlPolicy.AllowAll, maxDepth = 6,
+      trapDetectEvery = 2, trapMinUrls = 12, trapMinRatioBp = 20000)
+    val seeds = Seq(Fixtures.urlOf(0, 0))
+    val pageMap = pages.map(p => p.url -> p).toMap
+    val base = graft.ref.ReferenceCrawl.crawl(
+      pageMap, Seq.empty, seeds, cfg.copy(trapDetectEvery = 0), Map.empty)
+    val trapped = graft.ref.ReferenceCrawl.crawl(pageMap, Seq.empty, seeds, cfg, Map.empty)
+    assert(trapped.order.size < base.order.size,
+      "trap config must actually suppress fetches — scenario is vacuous otherwise")
+    runBothPages("trapfeedback", pages, cfg, seeds)
+  }
+
   test("politeness: per-host budget defers overflow to later rounds") {
     runBoth("politeness", fix, CrawlConfig(hostBudget = 2), Seq(Fixtures.urlOf(0, 0)))
   }

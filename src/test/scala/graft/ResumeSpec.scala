@@ -50,6 +50,32 @@ class ResumeSpec extends AnyFunSuite {
     storeA.clear(); storeB.clear()
   }
 
+  test("trap feedback survives resume: killed past a trap boundary, the recomputed trap set matches") {
+    val fix = FixtureConfig(nHosts = 4, maxPagesPerHost = 16)
+    val pages = spark.createDataset(Fixtures.generate(fix)).toDF()
+    val robots = spark.emptyDataset[RobotsRule]
+    val seeds = Seq(Fixtures.urlOf(0, 0))
+    // every fixture host collapses to one pattern; minUrls discriminates
+    val cfg = CrawlConfig(policy = UrlPolicy.AllowAll, maxDepth = 6,
+      trapDetectEvery = 2, trapMinUrls = 10, trapMinRatioBp = 20000)
+
+    val storeA = new SnapshotStore(tmpDir("trap-full"), spark)
+    val full = new CrawlLoop(spark, cfg, pages, robots, Map.empty, storeA).run(seeds)
+    val fullOrder = full.order(spark).select("url").as[String].collect().toVector
+    val fullSeen = full.seen(spark).select("url").as[String].collect().toSet
+
+    val storeB = new SnapshotStore(tmpDir("trap-interrupted"), spark)
+    // kill AFTER the first trap boundary (round 2) so the resumed run must
+    // recompute a non-empty trap set from the committed seen snapshots
+    new CrawlLoop(spark, cfg.copy(maxRounds = 3), pages, robots, Map.empty, storeB).run(seeds)
+    val resumed = new CrawlLoop(spark, cfg, pages, robots, Map.empty, storeB).run(seeds)
+    assert(resumed.order(spark).select("url").as[String].collect().toVector === fullOrder,
+      "trap-aware resumed crawl order diverged")
+    assert(resumed.seen(spark).select("url").as[String].collect().toSet === fullSeen,
+      "trap-aware resumed seen set diverged")
+    storeA.clear(); storeB.clear()
+  }
+
   test("cold-catalog resume: reattach from files in a fresh session, even with a changed shards config") {
     // The in-memory catalog dies with a JVM; the data and bucket layout do
     // not. One shared SparkContext per test JVM means a literal restart is
