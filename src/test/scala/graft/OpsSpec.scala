@@ -285,6 +285,14 @@ class OpsSpec extends AnyFunSuite {
     // query-param values collapse too; fragments survive (value stops at # or &)
     assert(graft.url.Traps.collapseUrl("http://h/p?id=123&cat=abc") === "http://h/p?id=#&cat=#")
     assert(graft.url.Traps.collapseUrl("http://h/x?a=1#frag2024") === "http://h/x?a=##frag#")
+    // pure mirror ≡ Column collapse, byte for byte, over assorted shapes
+    val shapes = Seq("http://h/", "http://h/p/123/q", "https://h:8443/a?b=c1&d=",
+      "http://h/cal/2024/12/31?sess=deadbeef99#x7", "no-scheme/55?x=9&y",
+      "http://h/%7Euser/1a2b3c", "?=&#", "")
+    val colOut = shapes.toDF("u")
+      .select(graft.url.Traps.collapseUrl(col("u")).as("c")).as[String].collect()
+    for ((u, c) <- shapes.zip(colOut))
+      assert(c === graft.url.Traps.collapseUrl(u), s"pure/column drift at '$u'")
   }
 
   test("registrable domain: longest suffix wins; suffix-hosts null; default last-label rule; pure ≡ column") {
