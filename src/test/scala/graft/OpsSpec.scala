@@ -261,6 +261,32 @@ class OpsSpec extends AnyFunSuite {
     assert(dupKept === Seq("good.org"))
   }
 
+  test("UrlPolicy: pure interpreter ≡ Column compiler across every ADT case") {
+    import graft.model.{UrlPolicy => P}
+    val seedHosts = Set("h0.test", "h1.test")
+    val policies = Seq(
+      P.AllowAll, P.SameDomain,
+      P.DenyPathPrefix(Seq("/p/1", "/cal")),
+      P.DenyDomains(Seq("bad.com", "h1.test")),
+      P.DenyHosts(Set("h0.test", "ads.bad.com")),
+      P.DenyHosts(Set.empty), P.DenyDomains(Seq.empty), P.And(Seq.empty),
+      P.And(Seq(P.SameDomain, P.DenyPathPrefix(Seq("/x")))),
+      P.And(Seq(P.AllowAll, P.DenyDomains(Seq("test")), P.DenyHosts(Set("q.org")))))
+    val urls = Seq(
+      "http://h0.test/p/12", "http://h1.test/cal/2024", "http://ads.bad.com/x/1",
+      "http://bad.com/", "http://sub.h1.test/p/9", "http://q.org/x",
+      "http://other.net/y", "http://h0.test/x/deep")
+    val rows = urls.map(u => (u, graft.url.Urls.hostOf(u))).toDF("url", "host")
+    for (p <- policies) {
+      val got = rows.select(col("url"),
+        graft.url.Policy.allowsCol(p, col("url"), col("host"), seedHosts).as("a"))
+        .as[(String, Boolean)].collect().toMap
+      for (u <- urls)
+        assert(got(u) === graft.url.Policy.allows(p, u, graft.url.Urls.hostOf(u), seedHosts),
+          s"pure/column drift: $p on $u")
+    }
+  }
+
   test("registrable domain: duplicate ids with different hosts resolve independently") {
     val psl = Seq("co.uk", "com").toDF("sfx")
     val rows = Seq((1L, "x.co.uk"), (1L, "y.internal")).toDF("doc_id", "host")
