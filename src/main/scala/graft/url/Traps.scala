@@ -51,9 +51,16 @@ object Traps {
       .filter(col(urlCol).isNotNull)
       .select(col(hostCol), col(urlCol),
         collapseUrl(col(urlCol)).as("__pat"))
-    val perHost = pairs.groupBy(col(hostCol)).agg(
-      count_distinct(col(urlCol)).as("n_urls"),
-      count_distinct(col("__pat")).as("n_patterns"))
+    // two single-distinct aggregates, NOT one dual count_distinct: two
+    // distincts in one aggregate plan an Expand that doubles every input
+    // row pre-shuffle. Collapse is a function (one pattern per URL), so
+    // summing per-pattern distinct-URL counts over a host IS the host's
+    // distinct-URL count — plain map-side-combining hash aggregates.
+    val perPattern = pairs.groupBy(col(hostCol), col("__pat"))
+      .agg(count_distinct(col(urlCol)).as("__u"))
+    val perHost = perPattern.groupBy(col(hostCol)).agg(
+      sum(col("__u")).as("n_urls"),
+      count(lit(1)).as("n_patterns"))
     perHost.select(
       col(hostCol), col("n_urls"), col("n_patterns"),
       expr("n_urls * 10000 div n_patterns").as("ratio_bp"))

@@ -307,6 +307,22 @@ class PlanSpec extends AnyFunSuite {
       s"expected semi (suffix hit) + anti (survivors) joins:\n$plan")
   }
 
+  test("traps: no Expand (dual-distinct) — two plain hash aggregates") {
+    val df = SparkEntry.queries("qd_traps")(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("Expand"),
+      s"dual count_distinct would double every URL row pre-shuffle:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"pattern counts must partially aggregate map-side:\n$plan")
+  }
+
+  test("capPerDomain: rank<=k prunes per input partition (WindowGroupLimit)") {
+    val df = SparkEntry.queries("qd_cap_domain")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("WindowGroupLimit"),
+      s"the cap must prune before the domain exchange, not rank the corpus:\n$plan")
+  }
+
   test("registrable domain: PSL broadcasts into an equi semi-join, never a per-pattern scan") {
     val df = SparkEntry.queries("qd_registrable")(spark, dir)
     val plan = planOf(df)
