@@ -307,6 +307,18 @@ class PlanSpec extends AnyFunSuite {
       s"expected semi (suffix hit) + anti (survivors) joins:\n$plan")
   }
 
+  test("pii redaction is map-only: zero hash exchanges, fuses into the scan stage") {
+    val df = SparkEntry.queries("qd_pii")(spark, dir)
+    df.collect() // AQE prints codegen spans only in the final plan
+    val plan = planOf(df)
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx == 0, s"redaction must not shuffle, got $nEx exchanges:\n$plan")
+    // codegen spans render as "WholeStageCodegen (n)" or the "*(n)" prefix
+    // depending on which AQE plan section survives toString
+    assert(plan.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
+      s"regex passes must run inside codegen:\n$plan")
+  }
+
   test("traps: no Expand (dual-distinct) — two plain hash aggregates") {
     val df = SparkEntry.queries("qd_traps")(spark, dir)
     val plan = planOf(df)
