@@ -254,6 +254,13 @@ object SparkEntry {
       Dedup.dedupCorpus(docsWithTwins(s, dir), threshold = 0.7)
         .select(col("doc_id"), col("dup_of"), col("kept").cast("int").as("kept"))
         .orderBy("doc_id")),
+    // transitive closure over exact+near-dup edges (8 hash-min rounds):
+    // oracle = the dedup_corpus pair CTEs + generated label-propagation
+    // CTEs, same technique as qg_components
+    "qd_dedup_cluster" -> ((s, dir) =>
+      Dedup.clusterCorpus(docsWithTwins(s, dir), threshold = 0.7, iters = 8)
+        .select(col("doc_id"), col("cluster"), col("kept").cast("int").as("kept"))
+        .orderBy("doc_id")),
     // INCREMENTAL dedup: the delta batch (shifted twins) against the base
     // corpus — band join across sides only, base never self-joins; the
     // oracle is brute-force cross-side Jaccard (banded recall is 1.0 here,
@@ -511,6 +518,22 @@ object SparkEntry {
           TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
           TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))
         .orderBy("doc_id")),
+    // NFC + control-strip + ws-collapse normalization; the appended
+    // suffix (decomposed accent, \x01 control, tab, padding spaces)
+    // exercises every stage IN the oracle comparison, since the parquet
+    // fixture text is already-normalized ASCII
+    "qd_normalize" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(
+            concat(col("text"), lit("  e\u0301tat\u0001\tfin  "))).as("norm_text"))
+        .orderBy("doc_id")),
+    // cross-doc duplicate-5-gram share (the Gopher/Dolma dup_ngram_frac
+    // signal): 64-bit gram hashes engine-side vs gram strings in the
+    // oracle — the standard shingle-oracle equivalence
+    "qd_dup_ngrams" -> ((s, dir) =>
+      TextAnalysis.dupNgramStats(t(s, dir, "documents"), n = 5)
+        .orderBy("doc_id")),
     "qd_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintUdf()(col("text")).as("fp"))
@@ -698,6 +721,46 @@ object SparkEntry {
                  SELECT e.dst AS node, sum(p.r // od.outdeg)::BIGINT AS c
                  FROM r${i - 1} p JOIN e ON e.src = p.node JOIN od ON od.src = p.node
                  GROUP BY 1) s ON s.node = nd.node)"""
+    sb.toString
+  }
+
+  /** Generated DuckDB mirror of Dedup.clusterCorpus at fixed `iters`:
+    * the qd_dedup_corpus CTE chain up through the brute-force rep pair
+    * table (banded recall is 1.0 on the twin corpus — same argument as
+    * qd_dedup_minhash_all), then hash-min label propagation over
+    * pair + identity edges exactly as componentsOracleSql generates it,
+    * then re-expansion of every member through its exact-cluster rep.
+    */
+  private def clusterOracleSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      """WITH d2 AS (SELECT doc_id, text FROM documents
+                     UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents),
+         hx AS MATERIALIZED (SELECT doc_id, text, sha256(text) AS h FROM d2),
+         reps AS MATERIALIZED (SELECT h, min(doc_id) AS rep FROM hx GROUP BY h),
+         mem AS (SELECT doc_id, rep FROM hx JOIN reps USING (h)),
+         rd AS (SELECT hx.doc_id, hx.text FROM hx JOIN reps ON hx.doc_id = reps.rep),
+         sh AS MATERIALIZED (SELECT doc_id,
+                       CASE WHEN len(ws) < 3 THEN [text]
+                            ELSE list_distinct(list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                       END AS s
+                FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM rd)),
+         pr AS MATERIALIZED (SELECT a.doc_id AS a, b.doc_id AS b
+                FROM sh a, sh b
+                WHERE a.doc_id < b.doc_id
+                  AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.7),
+         sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+                   SELECT a AS src, b AS dst FROM pr
+                   UNION ALL SELECT b AS src, a AS dst FROM pr
+                   UNION ALL SELECT rep AS src, rep AS dst FROM reps)),
+         l0 AS (SELECT rep AS node, rep AS lbl FROM reps)""")
+    for (i <- 1 to iters) sb ++= s""",
+         l$i AS (SELECT s.dst AS node, min(p.lbl) AS lbl
+                 FROM l${i - 1} p JOIN sym s ON s.src = p.node
+                 GROUP BY 1)"""
+    sb ++= s"""
+         SELECT mem.doc_id, l.lbl AS cluster,
+                CASE WHEN mem.doc_id = l.lbl THEN 1 ELSE 0 END AS kept
+         FROM mem JOIN l$iters l ON l.node = mem.rep ORDER BY mem.doc_id"""
     sb.toString
   }
 
@@ -1074,6 +1137,34 @@ object SparkEntry {
                  FROM mem LEFT JOIN dr ON dr.rep = mem.rep)
          SELECT doc_id, dup_of, CASE WHEN dup_of = doc_id THEN 1 ELSE 0 END AS kept
          FROM res ORDER BY doc_id""",
+    "qd_dedup_cluster" -> clusterOracleSql(iters = 8),
+    // NFC via DuckDB's utf8proc nfc_normalize vs the JDK Normalizer —
+    // both implement the same Unicode canonical composition; the regex
+    // chain stays in the Java-regex/RE2 common subset (hex classes, \s)
+    "qd_normalize" ->
+      """SELECT doc_id,
+              trim(regexp_replace(regexp_replace(
+                nfc_normalize(text || '  e' || chr(769) || 'tat' || chr(1) || chr(9) || 'fin  '),
+                '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                '\s+', ' ', 'g')) AS norm_text
+         FROM documents ORDER BY doc_id""",
+    "qd_dup_ngrams" ->
+      // word-5-gram strings vs 64-bit gram hashes in the engine — counts
+      // agree modulo hash collisions (none at this scale; collisions can
+      // only over-count, same direction as qd_decontam); <5-word docs
+      // fall back to the whole text as their single gram
+      """WITH w AS (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+         g AS (SELECT doc_id,
+                      unnest(CASE WHEN len(ws) < 5 THEN [text]
+                                  ELSE list_distinct(list_transform(range(1, len(ws) - 3), i -> array_to_string(ws[i:i+4], ' ')))
+                             END) AS gram
+               FROM w),
+         c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1)
+         SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+                sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+                ((sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) * 10000) // count(*))::BIGINT AS dup_bp
+         FROM g JOIN c USING (gram)
+         GROUP BY 1 ORDER BY 1""",
     "qd_langid" ->
       """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w FROM documents),
          sc AS (SELECT doc_id,

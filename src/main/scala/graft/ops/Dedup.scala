@@ -238,6 +238,63 @@ object Dedup {
       .withColumn("kept", col("dup_of") === col("doc_id"))
   }
 
+  /** Transitive near-dup clustering: where [[dedupCorpus]] resolves each
+    * dropped representative to its single smallest near-dup (one hop —
+    * the cheap form), this composes the SAME exact-cluster + LSH-pair
+    * stages with hash-min label propagation
+    * ([[Graph.connectedComponents]]), so a chain A~B~C whose endpoints
+    * never co-bucket still lands in ONE cluster — the semantics a
+    * "keep one per near-dup equivalence class" curation pass actually
+    * wants on template families (doc i resembles doc i+1, not doc i+9).
+    *
+    * Output: one row per input doc — (idCol, cluster, kept) where
+    * `cluster` is the smallest doc id reachable through exact-dup and
+    * near-dup edges within `iters` propagation rounds and `kept` marks
+    * the cluster minimum. Fixed `iters` makes the result exactly
+    * reproducible at any parallelism (integer min — the
+    * connectedComponents contract) and oracle-mirrorable; near-dup
+    * families are short-diameter in practice, and an under-`iters`
+    * chain merely leaves a family split (never merges wrong docs).
+    *
+    * Scale shape: everything upstream of the propagation is the pinned
+    * dedupCorpus shape (exact clusters first, LSH pairs only among
+    * O(distinct-text) reps); the propagation shuffles one 16-byte label
+    * row per REP per round — the full corpus only pays the final
+    * member→cluster hash join.
+    */
+  def clusterCorpus(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 3,
+      numHashes: Int = 128,
+      threshold: Double = 0.7,
+      seed: Long = 42L,
+      iters: Int = 8,
+      maxBucketSize: Int = 0): DataFrame = {
+    val hashed = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+      contentKey(textCol).as("__h"))
+    val reps = OpCaches.persist(
+      hashed.groupBy(col("__h")).agg(min(col("doc_id")).as("rep")),
+      StorageLevel.MEMORY_AND_DISK)
+    val memberRep = hashed.select(col("doc_id"), col("__h"))
+      .join(reps, Seq("__h")).select(col("doc_id"), col("rep"))
+    val repDocs = hashed
+      .join(reps.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("__t").as(textCol))
+    val pairs = minhashNearDups(repDocs, textCol, "doc_id", k, numHashes, threshold,
+      seed, maxBucketSize = maxBucketSize, onCap = logCap("clusterCorpus"))
+    // pair edges + identity edges for every rep: connectedComponents
+    // derives its node set from the edge table, and pair-less reps must
+    // still label themselves
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(reps.select(col("rep").as("src"), col("rep").as("dst")))
+    val comps = Graph.connectedComponents(edges, iters = iters)
+    memberRep.join(comps, memberRep("rep") === comps("node"))
+      .select(col("doc_id"), col("component").as("cluster"))
+      .withColumn("kept", col("doc_id") === col("cluster"))
+  }
+
   // ---------- incremental (delta-vs-base) minhash ----------
 
   /** The reusable MinHash-LSH index of a corpus: per-doc shingle payload

@@ -231,6 +231,68 @@ object TextAnalysis {
     tok.join(pcts, langCol)
   }
 
+  // ---------- text normalization (NFC + control strip + ws collapse) ----------
+
+  /** Canonical text cleanup: Unicode NFC composition (codegen expression,
+    * [[graft.functions.Normalize.nfc]]), strip C0 control characters
+    * other than tab/newline/CR plus DEL, collapse whitespace runs to one
+    * space, trim. The standard first pass of a webtext pipeline — run
+    * BEFORE any hashing/shingling so dedup keys see one byte
+    * representation per logically-identical string.
+    *
+    * Map-only and fully inside whole-stage codegen (the regexes are
+    * Spark built-ins; the char classes stay in the Java-regex/RE2 common
+    * subset so the DuckDB `nfc_normalize` oracle replays it exactly).
+    * Order matters and is part of the contract: compose first (so a
+    * stray combining mark joins its base before anything else looks at
+    * bytes), strip controls second (removed outright, NOT turned into
+    * spaces), collapse+trim last.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.Normalize.nfc(text),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "\\s+", " "))
+
+  // ---------- cross-document duplicate n-gram share ----------
+
+  /** Per-document duplicate-n-gram statistics: of a doc's DISTINCT word
+    * n-grams, how many occur in at least one OTHER document — the
+    * standard "dup_ngram_frac" quality signal (boilerplate, templated
+    * spam and licence-header pages score high; original prose scores
+    * low) used as a filter threshold in published webtext pipelines.
+    *
+    * Output: one row per input doc (no silent row loss) —
+    * (idCol, n_grams, n_dup, dup_bp) with `dup_bp` = basis points
+    * `n_dup*10000 div n_grams` (integer — exactly reproducible at any
+    * parallelism, unlike a float ratio). Docs shorter than `n` words
+    * fall back to the whole-text hash (the shingler convention), so an
+    * exact duplicate of a short doc still counts.
+    *
+    * Scale shape: grams are 8-byte xxhash64 shingle hashes straight off
+    * the text bytes (codegen, no gram strings); the first aggregate
+    * (gram → doc count) map-side-combines per-doc-distinct hashes, the
+    * join back is an 8-byte-key hash join against only the SHARED grams
+    * (cnt ≥ 2 — the minority), and the final per-doc fold map-side
+    * combines again. Two shuffles total, both on fixed-width keys; the
+    * text column is scanned twice but never shuffled. Hash collisions
+    * can only over-count (same conservative direction as decontam).
+    */
+  def dupNgramStats(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", n: Int = 5): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode_outer(graft.functions.MinHash.shingle_hashes(col(textCol), word = true, n)).as("g"))
+    val shared = grams.groupBy("g").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= 2).select(col("g"), lit(1).as("__dup"))
+    grams.join(shared, Seq("g"), "left")
+      .groupBy("doc_id").agg(
+        count(col("g")).as("n_grams"),
+        sum(coalesce(col("__dup"), lit(0))).cast("long").as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        when(col("n_grams") === 0, 0L)
+          .otherwise(expr("n_dup * 10000 div n_grams")).as("dup_bp"))
+  }
+
   // ---------- token counting ----------
 
   /** whitespace token count (codegen) */

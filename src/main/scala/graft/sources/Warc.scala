@@ -284,6 +284,110 @@ object Warc {
     }
   }
 
+  // ---------- CDX capture index + random-access record fetch ----------
+
+  /** One CDX-style index row per WARC record: where the record's gzip
+    * member sits in its archive file (`offset`, compressed `length`) plus
+    * the capture identity (url, timestamp, record type) and a SHA-256 hex
+    * digest of the raw record block. With it, a serving layer answers
+    * "give me this capture" with ONE ranged read of `length` bytes —
+    * never a scan — which is exactly how the Common Crawl index serves
+    * captures out of petabytes of `.warc.gz`. (Common Crawl's CDXJ uses
+    * SHA-1/base32 digests; this index keeps the repo-wide SHA-256
+    * convention — crawl content is adversarial and SHA-1 collisions are
+    * constructible.)
+    */
+  final case class CdxEntry(
+      url: String,
+      warc_ts: Timestamp,
+      warc_type: String,
+      digest: String,
+      offset: Long,
+      length: Long,
+      source_file: String)
+
+  private def sha256Hex(b: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256").digest(b)
+    val sb = new java.lang.StringBuilder(64)
+    d.foreach(x => sb.append(f"${x & 0xFF}%02x"))
+    sb.toString
+  }
+
+  private def readAllBytes(is: InputStream): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(1 << 16)
+    val buf = new Array[Byte](1 << 15)
+    var n = is.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = is.read(buf) }
+    out.toByteArray
+  }
+
+  /** Build the CDX index of the archives under `path` (glob ok).
+    *
+    * Requires the per-record-gzip-member layout (`.warc.gz` — Common
+    * Crawl's convention, and what [[writePages]] emits); a plain `.warc`
+    * fails loudly rather than yielding offsets nothing can seek to. A
+    * member holding several records (legal, unusual) indexes each record
+    * at the shared member frame. Strict parsing end to end: a corrupt
+    * member fails the task, because an index silently missing captures is
+    * worse than no index.
+    *
+    * Scale shape: one task per file (the WARC distribution axis), one
+    * streaming pass, nothing driver-side; output rows are ~100 bytes
+    * regardless of record size. Write the result as a partitioned table
+    * keyed however lookups arrive (url hash, registrable domain, time).
+    */
+  def cdxIndex(spark: SparkSession, path: String, minPartitions: Int = 0): Dataset[CdxEntry] = {
+    import spark.implicits._
+    val mp = if (minPartitions > 0) minPartitions else spark.sparkContext.defaultParallelism
+    spark.sparkContext.binaryFiles(path, mp)
+      .flatMap { case (file, pds) =>
+        require(file.endsWith(".gz"),
+          s"cdxIndex requires per-record-member .warc.gz archives, got $file")
+        val mg = new MultiGzipInputStream(
+          file, new BufferedInputStream(pds.open(), 1 << 16), perMember = true)
+        new Iterator[CdxEntry] {
+          private var batch: List[CdxEntry] = Nil
+          private def advance(): Unit = {
+            while (batch.isEmpty && mg.openNextMember()) {
+              val bytes = readAllBytes(mg) // to member end: memberEnd now valid
+              val start = mg.memberStart
+              val len = mg.memberEnd - start
+              val recs = new WarcIterator(file, new java.io.ByteArrayInputStream(bytes),
+                lenient = false, maxRecordBytes = 1L << 30)
+              batch = recs.map(r => CdxEntry(r.url, r.warc_ts, r.warc_type,
+                sha256Hex(r.payload), start, len, file)).toList
+            }
+            if (batch.isEmpty) mg.close()
+          }
+          override def hasNext: Boolean = { advance(); batch.nonEmpty }
+          override def next(): CdxEntry = {
+            if (!hasNext) throw new NoSuchElementException(file)
+            val h = batch.head; batch = batch.tail; h
+          }
+        }
+      }
+      .toDS()
+  }
+
+  /** Random-access fetch of one indexed capture: seek to `offset`, read
+    * `length` bytes, decode that one gzip member, parse its record(s).
+    * This is the CDX serving path — a driver/service-side point lookup
+    * (one ranged read), not a distributed operator.
+    */
+  def fetchRecordAt(spark: SparkSession, file: String, offset: Long, length: Long): Seq[WarcRecord] = {
+    require(length > 0 && length <= (1L << 31) - 1, s"bad member length $length")
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try {
+      in.seek(offset)
+      val buf = new Array[Byte](length.toInt)
+      in.readFully(buf, 0, buf.length)
+      new WarcIterator(file, new MultiGzipInputStream(file, new java.io.ByteArrayInputStream(buf)),
+        lenient = false, maxRecordBytes = 1L << 30).toList
+    } finally in.close()
+  }
+
   /** Streaming one-pass WARC record parser over one (possibly multi-member
     * gzip) stream. Header lines are ASCII per spec; the payload block is
     * sized by Content-Length, never scanned for delimiters.
@@ -429,7 +533,8 @@ object Warc {
     * Gzip header flags (FEXTRA/FNAME/FCOMMENT/FHCRC) are consumed per
     * RFC 1952.
     */
-  private[sources] final class MultiGzipInputStream(file: String, raw: InputStream)
+  private[sources] final class MultiGzipInputStream(file: String, raw: InputStream,
+                                                    perMember: Boolean = false)
       extends InputStream {
 
     private val in = new BufferedInputStream(raw, 1 << 16)
@@ -441,11 +546,21 @@ object Warc {
     private var inMember = false
     private var eof = false
     private val one = new Array[Byte](1)
+    // raw (compressed) position accounting, for the CDX index: rawRead
+    // counts bytes pulled from `in`; the cursor position subtracts what is
+    // staged in cbuf but not yet consumed. Valid at member boundaries —
+    // readTrailer reclaims the inflater's unconsumed bytes back into cbuf
+    // before these are read.
+    private var rawRead = 0L
+    private var mStart = 0L
+    private var mEnd = 0L
+    private var memberDone = false
+    private def rawPos: Long = rawRead - (cLen - cPos)
 
     private def fill(): Int = {
       if (cPos < cLen) return cLen - cPos
       val n = in.read(cbuf)
-      if (n < 0) -1 else { cPos = 0; cLen = n; n }
+      if (n < 0) -1 else { cPos = 0; cLen = n; rawRead += n; n }
     }
     private def readByte(): Int =
       if (fill() < 0) -1 else { val b = cbuf(cPos) & 0xFF; cPos += 1; b }
@@ -457,6 +572,7 @@ object Warc {
 
     /** false = clean EOF exactly at a member boundary */
     private def readHeader(): Boolean = {
+      mStart = rawPos
       val m1 = readByte()
       if (m1 < 0) return false
       val m2 = readByte()
@@ -498,7 +614,31 @@ object Warc {
       if (isize != (inf.getBytesWritten & 0xFFFFFFFFL))
         throw new java.util.zip.ZipException(s"$file: gzip member ISIZE mismatch")
       inMember = false
+      mEnd = rawPos
     }
+
+    /** Per-member mode: position at the next member's first decompressed
+      * byte (draining the current member if the caller abandoned it
+      * mid-read). false = clean EOF at a member boundary. After a true
+      * return, [[read]] yields this member's bytes then -1;
+      * [[memberStart]]/[[memberEnd]] frame the member's raw compressed
+      * bytes once it has been fully read.
+      */
+    private[sources] def openNextMember(): Boolean = {
+      require(perMember, s"$file: openNextMember outside per-member mode")
+      if (eof) return false
+      if (inMember) {
+        val junk = new Array[Byte](8192)
+        while (read(junk, 0, junk.length) >= 0) ()
+        if (eof) return false
+      }
+      memberDone = false
+      if (!readHeader()) { eof = true; false } else true
+    }
+    /** raw byte offset of the current member's gzip header */
+    private[sources] def memberStart: Long = mStart
+    /** raw byte offset one past the current member's gzip trailer */
+    private[sources] def memberEnd: Long = mEnd
 
     override def read(): Int = {
       val n = read(one, 0, 1)
@@ -506,13 +646,14 @@ object Warc {
     }
 
     override def read(b: Array[Byte], off: Int, len: Int): Int = {
-      if (eof) return -1
+      if (eof || (perMember && memberDone)) return -1
       if (len == 0) return 0
       if (!inMember && !readHeader()) { eof = true; return -1 }
       var n = 0
       while (n == 0) {
         if (inf.finished()) {
           readTrailer()
+          if (perMember) { memberDone = true; return -1 }
           if (!readHeader()) { eof = true; return -1 }
         }
         if (inf.needsInput()) {

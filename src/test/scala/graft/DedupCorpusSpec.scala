@@ -269,4 +269,30 @@ class DedupCorpusSpec extends AnyFunSuite {
       (3L, 3L, true)))  // distinct
     graft.ops.OpCaches.releaseAll()
   }
+
+  test("clusterCorpus closes transitive chains that single-hop dedupCorpus leaves split") {
+    // sliding-window chain: A = w0..w19, B = w2..w21, C = w4..w23 over
+    // word-3-shingles -> J(A,B) = J(B,C) = 16/20 = 0.8 >= 0.7, but
+    // J(A,C) = 14/22 ≈ 0.64 < 0.7: A and C connect only THROUGH B
+    def win(from: Int): String = (from until from + 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, win(0)), (1L, win(2)), (2L, win(4)),
+      (3L, win(0)), // exact dup of 0 — exact clusters must re-expand
+      (4L, "completely different text with no overlap at all whatsoever here")
+    ).toDF("doc_id", "text")
+    val cl = Dedup.clusterCorpus(docs).orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect()
+    assert(cl === Array(
+      (0L, 0L, true),
+      (1L, 0L, false),
+      (2L, 0L, false), // transitively reaches 0 through 1
+      (3L, 0L, false),
+      (4L, 4L, true)))
+    // contrast pin: the single-hop composition resolves 2 to its DIRECT
+    // near-dup 1, not the chain minimum — the gap clusterCorpus closes
+    val oneHop = Dedup.dedupCorpus(docs).filter(col("doc_id") === 2L)
+      .select("dup_of").as[Long].head()
+    assert(oneHop === 1L)
+    graft.ops.OpCaches.releaseAll()
+  }
 }

@@ -392,6 +392,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("normalizeText: NFC composition, control strip, whitespace collapse, trim") {
+    val hostile = "  ab  état  \t\r\nx  "
+    val got = Seq(hostile).toDF("text")
+      .select(TextAnalysis.normalizeText(col("text"))).as[String].head()
+    assert(got === "ab état x")
+    // already-normalized ASCII is untouched (and the fast path keeps it)
+    val plain = Seq("hello world").toDF("text")
+      .select(TextAnalysis.normalizeText(col("text"))).as[String].head()
+    assert(plain === "hello world")
+    // NULL stays NULL
+    val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("text")
+      .select(TextAnalysis.normalizeText(col("text"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("dupNgramStats: planted shared 5-grams, short-doc fallback, no silent row loss") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta"), // 3 distinct 5-grams
+      (1L, "alpha beta gamma delta epsilon other words entirely"), // shares gram 1 with doc 0
+      (2L, "totally unrelated content with zero overlap here"),
+      (3L, "tiny doc"), // <5 words -> whole-text gram
+      (4L, "tiny doc") // exact dup of 3 -> both flagged
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.dupNgramStats(d, n = 5).orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_dup", "dup_bp").as[(Long, Long, Long, Long)].collect()
+    assert(r(0) === ((0L, 3L, 1L, 3333L))) // 1 of 3 grams shared with doc 1
+    assert(r(1) === ((1L, 4L, 1L, 2500L)))
+    assert(r(2) === ((2L, 3L, 0L, 0L)))
+    assert(r(3) === ((3L, 1L, 1L, 10000L))) // whole-text fallback, dup'd by doc 4
+    assert(r(4) === ((4L, 1L, 1L, 10000L)))
+  }
+
   test("custom DotProduct expression matches HOF formulation bit-for-bit") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
     val custom = df.select(graft.functions.DotProduct.dot_product(col("a"), col("b"))).as[Double].head()

@@ -276,6 +276,55 @@ class WarcSpec extends AnyFunSuite {
     assert(back.toSeq === expected)
   }
 
+  test("CDX index: every byte attributed, offsets seekable, digests verify on random access") {
+    import SparkTestBase.spark.implicits._
+    val pages = graft.fixtures.Fixtures.generate(
+      graft.fixtures.Fixtures.FixtureConfig(nHosts = 2, maxPagesPerHost = 8))
+    val df = spark.createDataset(pages).toDF().repartition(2)
+    val dir = tmpDir("warc-cdx")
+    Warc.writePages(df, dir)
+    val idx = Warc.cdxIndex(spark, s"$dir/*.warc.gz").collect().toSeq
+
+    // one response record per page, plus one warcinfo member per archive
+    val responses = idx.filter(_.warc_type == "response")
+    assert(idx.length === pages.length + 2)
+    assert(responses.map(_.url).sorted === pages.map(_.url).sorted)
+
+    // members tile each file exactly: offsets strictly increasing, each
+    // next offset = previous offset + length, and the last member ends at
+    // the physical file size — no byte unaccounted, none counted twice
+    idx.groupBy(_.source_file).foreach { case (file, es) =>
+      val s = es.sortBy(_.offset)
+      assert(s.head.offset === 0L)
+      s.sliding(2).foreach {
+        case Seq(a, b) => assert(a.offset + a.length === b.offset, s"gap in $file")
+        case _ =>
+      }
+      val size = new java.io.File(new java.net.URI(file)).length()
+      assert(s.last.offset + s.last.length === size, s"tail not attributed in $file")
+    }
+
+    // random access: a ranged read of [offset, length) yields exactly the
+    // indexed record, byte-verified by the digest
+    for (e <- Seq(responses.head, responses(responses.length / 2), responses.last)) {
+      val recs = Warc.fetchRecordAt(spark, e.source_file, e.offset, e.length)
+      assert(recs.length === 1)
+      assert(recs.head.url === e.url)
+      val d = java.security.MessageDigest.getInstance("SHA-256").digest(recs.head.payload)
+      assert(d.map(x => f"${x & 0xFF}%02x").mkString === e.digest)
+    }
+
+    // plain .warc has no seekable members — loud, not silently useless
+    val plain = tmpDir("warc-cdx-plain")
+    java.nio.file.Files.write(java.nio.file.Paths.get(plain, "f.warc"),
+      warcBytes.reduce(_ ++ _))
+    val err = intercept[org.apache.spark.SparkException] {
+      Warc.cdxIndex(spark, s"$plain/f.warc").collect()
+    }
+    assert(err.getMessage.contains("warc.gz") ||
+      err.getCause != null && err.getCause.getMessage.contains("warc.gz"))
+  }
+
   test("syntactically illegal charset names fall back to UTF-8 — never a throw in the decode UDF") {
     // Charset.isSupported THROWS IllegalCharsetNameException on names like
     // 'utf 8' or 'iso-8859-1,iso-8859-1' (both seen in real crawl headers);
