@@ -363,4 +363,31 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_max"),
       s"the now-timestamp branch must partially aggregate map-side:\n$plan")
   }
+
+  test("normalizeText is map-only: zero exchanges, NFC + regexes fused into the scan stage") {
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+      .select(graft.ops.TextAnalysis.normalizeText(col("text")).as("t"))
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), s"normalization must not shuffle:\n$plan")
+    assert(plan.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
+      s"the NFC expression must fuse into codegen:\n$plan")
+  }
+
+  test("dupNgramStats: fixed-width-key shuffles only, both aggregates partial map-side") {
+    val df = SparkEntry.queries("qd_dup_ngrams")(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    // text is scanned (twice) but NEVER shuffled: every exchange keys on
+    // the 8-byte gram hash or the doc id
+    plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { ex =>
+      assert(ex.contains("g#") || ex.contains("doc_id#"),
+        s"exchange on an unexpected key: $ex")
+      assert(!ex.contains("text#"), s"text column must never be a shuffle key: $ex")
+    }
+    assert(plan.contains("partial_count"),
+      s"gram counts must partially aggregate map-side:\n$plan")
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"the shared-gram join must stay an equi-join:\n$plan")
+  }
 }
