@@ -518,6 +518,16 @@ object SparkEntry {
           TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
           TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))
         .orderBy("doc_id")),
+    // host-reputation ledger over a corpus with planted per-source exact
+    // dups (every third doc twinned): integer-exact dup/short shares and
+    // the host flag both thresholds exercise a real mix of 0s and 1s
+    "qd_host_ledger" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val d2 = d.unionByName(
+        d.filter(col("doc_id") % 3 === 0).withColumn("doc_id", col("doc_id") + 10000L))
+      graft.ops.Curate.hostLedger(d2, dupFlagBp = 2500L, shortFlagBp = 1000L)
+        .orderBy("source")
+    }),
     // NFC + control-strip + ws-collapse normalization; the appended
     // suffix (decomposed accent, \x01 control, tab, padding spaces)
     // exercises every stage IN the oracle comparison, since the parquet
@@ -533,6 +543,11 @@ object SparkEntry {
     // oracle — the standard shingle-oracle equivalence
     "qd_dup_ngrams" -> ((s, dir) =>
       TextAnalysis.dupNgramStats(t(s, dir, "documents"), n = 5)
+        .orderBy("doc_id")),
+    // duplicate-SPAN removal (Lee et al. exact substring dedup at 5-gram
+    // granularity): repeated passages cut OUT of docs, tokens rejoined
+    "qd_strip_spans" -> ((s, dir) =>
+      Dedup.stripDupSpans(t(s, dir, "documents"), n = 5)
         .orderBy("doc_id")),
     "qd_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1138,6 +1153,24 @@ object SparkEntry {
          SELECT doc_id, dup_of, CASE WHEN dup_of = doc_id THEN 1 ELSE 0 END AS kept
          FROM res ORDER BY doc_id""",
     "qd_dedup_cluster" -> clusterOracleSql(iters = 8),
+    "qd_host_ledger" ->
+      """WITH d2 AS (SELECT doc_id, text, source, n_chars FROM documents
+                     UNION ALL SELECT doc_id + 10000, text, source, n_chars
+                     FROM documents WHERE doc_id % 3 = 0),
+         l1 AS (SELECT source, sha256(text) AS h, count(*) AS c,
+                       sum(length(string_split(trim(text), ' '))) AS toks,
+                       sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS shorts
+                FROM d2 GROUP BY 1, 2),
+         l2 AS (SELECT source, sum(c)::BIGINT AS n_docs, count(*)::BIGINT AS n_texts,
+                       (sum(c) - count(*))::BIGINT AS dup_docs, max(c)::BIGINT AS max_copies,
+                       sum(toks)::BIGINT AS total_tokens, sum(shorts)::BIGINT AS short_docs
+                FROM l1 GROUP BY 1)
+         SELECT source, n_docs, n_texts, dup_docs, max_copies, total_tokens, short_docs,
+                (dup_docs * 10000 // n_docs)::BIGINT AS dup_share_bp,
+                (short_docs * 10000 // n_docs)::BIGINT AS short_share_bp,
+                (CASE WHEN dup_docs * 10000 // n_docs >= 2500
+                        OR short_docs * 10000 // n_docs >= 1000 THEN 1 ELSE 0 END)::BIGINT AS flagged
+         FROM l2 ORDER BY source""",
     // NFC via DuckDB's utf8proc nfc_normalize vs the JDK Normalizer —
     // both implement the same Unicode canonical composition; the regex
     // chain stays in the Java-regex/RE2 common subset (hex classes, \s)
@@ -1165,6 +1198,30 @@ object SparkEntry {
                 ((sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) * 10000) // count(*))::BIGINT AS dup_bp
          FROM g JOIN c USING (gram)
          GROUP BY 1 ORDER BY 1""",
+    "qd_strip_spans" ->
+      // positional 5-gram windows (NOT distinct — within-doc repeats are
+      // duplicates by design), shared = text occurs >= 2 times by
+      // position; covered tokens drop, survivors rejoin on single spaces
+      """WITH w AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS ws FROM documents),
+         tk AS (SELECT doc_id, i.i AS j, ws[i.i] AS tok
+                FROM w, lateral (SELECT unnest(generate_series(1, len(ws))) AS i) i),
+         g AS (SELECT doc_id, i.i AS i, array_to_string(ws[i.i : i.i + 4], ' ') AS gram
+               FROM w, lateral (SELECT unnest(generate_series(1, len(ws) - 4)) AS i) i),
+         sh AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+         cov AS (SELECT DISTINCT g.doc_id, j.j
+                 FROM g JOIN sh USING (gram),
+                      lateral (SELECT unnest(generate_series(g.i, g.i + 4)) AS j) j),
+         k AS (SELECT t.doc_id,
+                      count(*) AS n_tokens,
+                      sum(CASE WHEN cov.j IS NOT NULL THEN 1 ELSE 0 END) AS n_removed,
+                      array_to_string(list(t.tok ORDER BY t.j) FILTER (cov.j IS NULL), ' ') AS kept_text
+               FROM tk t LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.j = t.j
+               GROUP BY 1)
+         SELECT d.doc_id, coalesce(k.n_tokens, 0)::BIGINT AS n_tokens,
+                coalesce(k.n_removed, 0)::BIGINT AS n_removed,
+                coalesce(k.kept_text, '') AS kept_text
+         FROM documents d LEFT JOIN k ON k.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     "qd_langid" ->
       """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w FROM documents),
          sc AS (SELECT doc_id,

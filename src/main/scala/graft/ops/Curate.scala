@@ -296,4 +296,48 @@ object Curate {
       .withColumn("rep", explode(sequence(lit(0L), col("__factor") - 1L)))
       .drop("__factor")
   }
+
+  /** Host-reputation ledger — the domain-level gating table behind
+    * "drop the whole host" curation decisions (the C4/RefinedWeb move:
+    * template farms and mirror hosts are cheaper to excise at host
+    * granularity than doc by doc) and behind crawl-policy feedback
+    * (deny-list candidates, recrawl demotion).
+    *
+    * One row per `groupCol` (host / registrable domain / source), all
+    * columns integer-exact and order-free so the ledger is reproducible
+    * at any parallelism and value-oracle-able:
+    *   - n_docs, n_texts (distinct bodies), dup_docs = n_docs − n_texts,
+    *     max_copies (largest exact-dup cluster)
+    *   - total_tokens (whitespace), short_docs (n_chars < minChars)
+    *   - dup_share_bp / short_share_bp (basis points, floor division)
+    *   - flagged = dup_share_bp ≥ dupFlagBp OR short_share_bp ≥
+    *     shortFlagBp (1/0)
+    *
+    * Scale shape: TWO hash aggregates, both map-side combining — first
+    * on (group, sha-256 body key) which collapses every exact-dup
+    * cluster to one row before anything else, then on the group. No
+    * distinct-aggregate Expand (the dual-count trap), no window, no
+    * join; the text column never shuffles (32-byte keys do).
+    */
+  def hostLedger(docs: DataFrame, groupCol: String = "source",
+                 textCol: String = "text", charsCol: String = "n_chars",
+                 minChars: Long = 100L,
+                 dupFlagBp: Long = 2000L, shortFlagBp: Long = 5000L): DataFrame = {
+    val l1 = docs.groupBy(col(groupCol), sha2(col(textCol), 256).as("__h"))
+      .agg(count(lit(1)).as("__c"),
+        sum(TextAnalysis.wsTokenCount(col(textCol))).cast("long").as("__toks"),
+        sum(when(col(charsCol) < minChars, 1L).otherwise(0L)).as("__shorts"))
+    l1.groupBy(col(groupCol))
+      .agg(sum(col("__c")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_texts"),
+        (sum(col("__c")) - count(lit(1))).cast("long").as("dup_docs"),
+        max(col("__c")).cast("long").as("max_copies"),
+        sum(col("__toks")).cast("long").as("total_tokens"),
+        sum(col("__shorts")).cast("long").as("short_docs"))
+      .withColumn("dup_share_bp", expr("dup_docs * 10000 div n_docs"))
+      .withColumn("short_share_bp", expr("short_docs * 10000 div n_docs"))
+      .withColumn("flagged",
+        when(col("dup_share_bp") >= dupFlagBp || col("short_share_bp") >= shortFlagBp, 1L)
+          .otherwise(0L))
+  }
 }

@@ -295,6 +295,64 @@ object Dedup {
       .withColumn("kept", col("doc_id") === col("cluster"))
   }
 
+  /** Exact duplicate-SPAN removal at word-n-gram granularity — the
+    * "deduplicating training data" transform (Lee et al. 2022) that cuts
+    * repeated passages OUT of documents instead of dropping whole docs:
+    * licence headers, navigation boilerplate and quoted chain-mail are
+    * span-level phenomena that doc-level dedup never touches.
+    *
+    * Semantics (documented, oracle-mirrored): a window of `n`
+    * consecutive words is DUPLICATE if its text occurs ≥ 2 times in the
+    * corpus by POSITION (within-doc repeats count — a page that repeats
+    * its own banner five times is exactly the pathology); every token
+    * covered by at least one duplicate window is removed, and the
+    * survivors re-join with single spaces. Output: one row per input doc
+    * (no silent row loss) — (idCol, n_tokens, n_removed, kept_text).
+    * Docs shorter than `n` words have no windows and pass through whole.
+    *
+    * Scale shape: window keys travel as 8-byte xxhash64 values (a
+    * collision can only over-remove — conservative direction); the
+    * shared-window aggregate map-side-combines; coverage expansion is a
+    * map-side explode of n positions per duplicate window feeding an
+    * equi-join on (doc, position) — never a range join; the rebuild is
+    * one per-doc aggregate whose payload is the doc's own surviving
+    * tokens. Token rows shuffle twice (coverage join, rebuild) — the
+    * price of positional surgery; the gram STRINGS never shuffle at all.
+    */
+  def stripDupSpans(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 5): DataFrame = {
+    require(n >= 2, s"window width must be >= 2, got $n")
+    val toksArr = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val base = docs.select(col(idCol).as("doc_id"), toksArr.as("tk"))
+    val toks = base.select(col("doc_id"), posexplode(col("tk")).as(Seq("j", "tok")))
+    // positioned window hashes: i = 0-based window start over the token array
+    val gramHashes = when(size(col("tk")) >= n,
+      transform(sequence(lit(0), size(col("tk")) - n),
+        i => xxhash64(concat_ws(" ", slice(col("tk"), i + 1, lit(n))))))
+      .otherwise(array())
+    val grams = base.select(col("doc_id"), posexplode(gramHashes).as(Seq("i", "h")))
+    val shared = grams.groupBy("h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("h")
+    val covered = grams.join(shared, Seq("h"))
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (n - 1))).as("j"))
+      .distinct()
+    val rebuilt = toks.join(covered.withColumn("__cov", lit(1)), Seq("doc_id", "j"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__cov"), lit(0))).cast("long").as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__cov").isNull, struct(col("j"), col("tok"))))),
+          s => s.getField("tok"))).as("kept_text"))
+    docs.select(col(idCol).as("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   // ---------- incremental (delta-vs-base) minhash ----------
 
   /** The reusable MinHash-LSH index of a corpus: per-doc shingle payload

@@ -155,4 +155,28 @@ class CurateSpec extends AnyFunSuite {
     assert(audit.filter(col("verdict") === "kept").count() === 2L)
     graft.ops.OpCaches.releaseAll()
   }
+
+  test("hostLedger: hand-computed shares, both flag branches, flag thresholds inclusive") {
+    val docs = Seq(
+      (0L, "aaa bbb ccc", "h1", 50L), // short, duplicated below
+      (1L, "aaa bbb ccc", "h1", 50L),
+      (2L, "ddd eee fff ggg", "h1", 200L),
+      (3L, "unique text here", "h2", 200L),
+      (4L, "another unique body", "h2", 200L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val r = Curate.hostLedger(docs, dupFlagBp = 3400L, shortFlagBp = 5000L)
+      .orderBy("source")
+      .select("source", "n_docs", "n_texts", "dup_docs", "max_copies",
+        "total_tokens", "short_docs", "dup_share_bp", "short_share_bp", "flagged")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    // h1: 3 docs over 2 bodies -> dup_share 3333 (< 3400, dup branch NOT
+    // tripped), 2 short docs -> short_share 6666 >= 5000 -> flagged
+    assert(r(0) === (("h1", 3L, 2L, 1L, 2L, 10L, 2L, 3333L, 6666L, 1L)))
+    // h2: clean host
+    assert(r(1) === (("h2", 2L, 2L, 0L, 1L, 6L, 0L, 0L, 0L, 0L)))
+    // inclusive threshold: dup branch alone flags at exactly its bp value
+    val dupOnly = Curate.hostLedger(docs, dupFlagBp = 3333L, shortFlagBp = 10000L)
+      .filter(col("source") === "h1").select("flagged").as[Long].head()
+    assert(dupOnly === 1L)
+  }
 }

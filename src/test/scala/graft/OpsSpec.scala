@@ -424,6 +424,23 @@ class OpsSpec extends AnyFunSuite {
     assert(r(4) === ((4L, 1L, 1L, 10000L)))
   }
 
+  test("stripDupSpans: cross-doc and within-doc repeated windows cut out, short/empty docs intact") {
+    val d = Seq(
+      (0L, "A B C D E x y z"), // window "A B C D E" shared with doc 1
+      (1L, "p q A B C D E r"),
+      (2L, "m n o p q m n o p q"), // within-doc repeat: whole doc is duplicate spans
+      (3L, "short doc"), // < 5 words: no windows, passes whole
+      (4L, "") // empty: 0 tokens, still one output row
+    ).toDF("doc_id", "text")
+    val r = Dedup.stripDupSpans(d, n = 5).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(r(0) === ((0L, 8L, 5L, "x y z")))
+    assert(r(1) === ((1L, 8L, 5L, "p q r")))
+    assert(r(2) === ((2L, 10L, 10L, "")))
+    assert(r(3) === ((3L, 2L, 0L, "short doc")))
+    assert(r(4) === ((4L, 0L, 0L, "")))
+  }
+
   test("custom DotProduct expression matches HOF formulation bit-for-bit") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
     val custom = df.select(graft.functions.DotProduct.dot_product(col("a"), col("b"))).as[Double].head()

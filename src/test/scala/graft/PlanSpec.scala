@@ -364,6 +364,33 @@ class PlanSpec extends AnyFunSuite {
       s"the now-timestamp branch must partially aggregate map-side:\n$plan")
   }
 
+  test("hostLedger: two plain hash aggregates — no Expand, text never a shuffle key") {
+    val df = SparkEntry.queries("qd_host_ledger")(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("Expand"),
+      s"the ledger must not use distinct-aggregate Expand:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"both aggregates must combine map-side:\n$plan")
+    plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { ex =>
+      assert(!ex.contains("text#"), s"text column must never be a shuffle key: $ex")
+    }
+  }
+
+  test("stripDupSpans: window keys travel as 8-byte hashes, equi-joins only, partial counts") {
+    val df = SparkEntry.queries("qd_strip_spans")(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"coverage must come from equi-joins, never a range/cross join:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"the shared-window count must combine map-side:\n$plan")
+    // the gram text never shuffles — window identity is the xxhash64 key
+    plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { ex =>
+      assert(!ex.contains("gram"), s"gram strings must never be shuffle keys: $ex")
+    }
+  }
+
   test("normalizeText is map-only: zero exchanges, NFC + regexes fused into the scan stage") {
     val df = spark.read.parquet(s"$dir/documents.parquet")
       .select(graft.ops.TextAnalysis.normalizeText(col("text")).as("t"))
