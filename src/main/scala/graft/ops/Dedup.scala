@@ -284,14 +284,16 @@ object Dedup {
       .select(col("doc_id"), col("__t").as(textCol))
     val pairs = minhashNearDups(repDocs, textCol, "doc_id", k, numHashes, threshold,
       seed, maxBucketSize = maxBucketSize, onCap = logCap("clusterCorpus"))
-    // pair edges + identity edges for every rep: connectedComponents
-    // derives its node set from the edge table, and pair-less reps must
-    // still label themselves
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(reps.select(col("rep").as("src"), col("rep").as("dst")))
-    val comps = Graph.connectedComponents(edges, iters = iters)
-    memberRep.join(comps, memberRep("rep") === comps("node"))
-      .select(col("doc_id"), col("component").as("cluster"))
+    // propagate ONLY over reps that appear in a near-dup pair — the small
+    // minority. A singleton rep's component is itself by definition, so
+    // making every rep propagate its own label for `iters` rounds (the
+    // identity-edges-for-all formulation) would shuffle the whole rep set
+    // per round for nothing; the left join + coalesce gives pair-less
+    // reps the same answer for free.
+    val comps = Graph.connectedComponents(
+      pairs.select(col("a").as("src"), col("b").as("dst")), iters = iters)
+    memberRep.join(comps, memberRep("rep") === comps("node"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("rep")).as("cluster"))
       .withColumn("kept", col("doc_id") === col("cluster"))
   }
 

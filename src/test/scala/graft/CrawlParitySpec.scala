@@ -95,6 +95,38 @@ class CrawlParitySpec extends AnyFunSuite {
     runBothPages("denydomains", pages, cfg, Seq(Fixtures.urlOf(1, 0)))
   }
 
+  test("ledger feedback: crawl-1 corpus flags the boilerplate host, crawl-2 denies it, with parity") {
+    // the curation->crawl-policy feedback loop: a host serving one
+    // identical body on every page (mirror/template farm) is flagged by
+    // the host-reputation ledger computed over the FIRST crawl's corpus,
+    // and the flag feeds DenyDomains for the next crawl
+    val boiler = "copy of the identical body served on every page of this host"
+    val pages = Fixtures.generate(fix).map(p =>
+      if (p.url.contains("h2.test")) p.copy(text = boiler) else p)
+    val seeds = Seq(Fixtures.urlOf(1, 0))
+    val cfg1 = CrawlConfig(policy = UrlPolicy.AllowAll, maxDepth = 4)
+    val crawl1 = ReferenceCrawl.crawl(pages.map(p => p.url -> p).toMap, Seq.empty, seeds, cfg1, Map.empty)
+    assert(crawl1.order.exists(_.url.contains("h2.test")),
+      "crawl 1 must actually fetch the boilerplate host — scenario is vacuous otherwise")
+
+    val fetched = crawl1.order.map(_.url).toSet
+    val docs = spark.createDataset(pages.filter(p => fetched.contains(p.url)).map(p =>
+      (p.url, new java.net.URI(p.url).getHost, p.text, p.text.length.toLong)))
+      .toDF("url", "source", "text", "n_chars")
+    // dup branch only (short branch disabled): >= 50% duplicate docs flags
+    val flagged = graft.ops.Curate.hostLedger(docs, minChars = 0L,
+      dupFlagBp = 5000L, shortFlagBp = 10001L)
+      .filter(org.apache.spark.sql.functions.col("flagged") === 1L)
+      .select("source").as[String].collect().toSeq.sorted
+    assert(flagged === Seq("h2.test"), s"ledger must flag exactly the planted host, got $flagged")
+
+    val cfg2 = cfg1.copy(policy = UrlPolicy.And(Seq(
+      UrlPolicy.AllowAll, UrlPolicy.DenyDomains(flagged))))
+    val ref2 = ReferenceCrawl.crawl(pages.map(p => p.url -> p).toMap, Seq.empty, seeds, cfg2, Map.empty)
+    assert(!ref2.order.exists(_.url.contains("h2.test")), "flagged host leaked into crawl 2")
+    runBothPages("ledgerdeny", pages, cfg2, seeds)
+  }
+
   test("trap feedback: hosts crossing the URL-space threshold stop being crawled, identically") {
     // fixture paths are /p/N — every host collapses to one pattern, so
     // trapMinUrls is the discriminator: hosts whose seen-URL count crosses
