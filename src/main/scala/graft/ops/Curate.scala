@@ -322,12 +322,44 @@ object Curate {
   def hostLedger(docs: DataFrame, groupCol: String = "source",
                  textCol: String = "text", charsCol: String = "n_chars",
                  minChars: Long = 100L,
-                 dupFlagBp: Long = 2000L, shortFlagBp: Long = 5000L): DataFrame = {
-    val l1 = docs.groupBy(col(groupCol), sha2(col(textCol), 256).as("__h"))
+                 dupFlagBp: Long = 2000L, shortFlagBp: Long = 5000L): DataFrame =
+    hostLedgerOfBodies(bodyCounts(docs, groupCol, textCol, charsCol, minChars),
+      groupCol, dupFlagBp, shortFlagBp)
+
+  /** The ledger's INCREMENTAL state: one row per (group, distinct body) —
+    * (groupCol, __h, __c, __toks, __shorts). Every ledger column is
+    * algebraic over this table (sums, counts, max), so a rolling corpus
+    * never recomputes from raw text: persist the body counts per
+    * ingestion batch, [[mergeBodyCounts]] them (associative/commutative —
+    * any merge tree gives identical results), and re-derive the ledger
+    * with [[hostLedgerOfBodies]]. State size is O(distinct bodies), not
+    * O(docs), and merging shuffles only 60-byte rows.
+    */
+  def bodyCounts(docs: DataFrame, groupCol: String = "source",
+                 textCol: String = "text", charsCol: String = "n_chars",
+                 minChars: Long = 100L): DataFrame =
+    docs.groupBy(col(groupCol), sha2(col(textCol), 256).as("__h"))
       .agg(count(lit(1)).as("__c"),
         sum(TextAnalysis.wsTokenCount(col(textCol))).cast("long").as("__toks"),
         sum(when(col(charsCol) < minChars, 1L).otherwise(0L)).as("__shorts"))
-    l1.groupBy(col(groupCol))
+
+  /** Merge body-count states from separate batches (same group/body rows
+    * sum; disjoint rows pass through). One hash aggregate on the compact
+    * state rows — raw text never re-enters.
+    */
+  def mergeBodyCounts(parts: Seq[DataFrame], groupCol: String = "source"): DataFrame = {
+    require(parts.nonEmpty, "mergeBodyCounts needs at least one part")
+    parts.reduce(_.unionByName(_))
+      .groupBy(col(groupCol), col("__h"))
+      .agg(sum(col("__c")).cast("long").as("__c"),
+        sum(col("__toks")).cast("long").as("__toks"),
+        sum(col("__shorts")).cast("long").as("__shorts"))
+  }
+
+  /** ledger finalization over a (merged) body-count state */
+  def hostLedgerOfBodies(bodies: DataFrame, groupCol: String = "source",
+                         dupFlagBp: Long = 2000L, shortFlagBp: Long = 5000L): DataFrame =
+    bodies.groupBy(col(groupCol))
       .agg(sum(col("__c")).cast("long").as("n_docs"),
         count(lit(1)).as("n_texts"),
         (sum(col("__c")) - count(lit(1))).cast("long").as("dup_docs"),
@@ -339,5 +371,4 @@ object Curate {
       .withColumn("flagged",
         when(col("dup_share_bp") >= dupFlagBp || col("short_share_bp") >= shortFlagBp, 1L)
           .otherwise(0L))
-  }
 }

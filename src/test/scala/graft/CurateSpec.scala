@@ -179,4 +179,23 @@ class CurateSpec extends AnyFunSuite {
       .filter(col("source") === "h1").select("flagged").as[Long].head()
     assert(dupOnly === 1L)
   }
+
+  test("incremental ledger: merged per-batch body counts equal the whole-corpus ledger") {
+    val batchA = Seq(
+      (0L, "aaa bbb ccc", "h1", 50L),
+      (2L, "ddd eee fff ggg", "h1", 200L),
+      (3L, "unique text here", "h2", 200L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val batchB = Seq(
+      (1L, "aaa bbb ccc", "h1", 50L), // dup of a batch-A body, OTHER batch
+      (4L, "another unique body", "h2", 200L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val whole = Curate.hostLedger(batchA.unionByName(batchB)).orderBy("source")
+    val merged = Curate.hostLedgerOfBodies(Curate.mergeBodyCounts(Seq(
+      Curate.bodyCounts(batchA), Curate.bodyCounts(batchB)))).orderBy("source")
+    assert(merged.collect().toSeq === whole.collect().toSeq,
+      "merge of per-batch states must be indistinguishable from a full recompute")
+    // cross-batch dup visible only after the merge: h1 max_copies = 2
+    assert(merged.filter(col("source") === "h1").select("max_copies").as[Long].head() === 2L)
+  }
 }
