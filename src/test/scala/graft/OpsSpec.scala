@@ -407,6 +407,28 @@ class OpsSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("normalizeText: Column pipeline ≡ pure JDK mirror over a deterministic hostile sweep") {
+    // the repo's parity idiom: the distributed expression must agree with
+    // a direct pure-Scala statement of the spec on inputs stressing every
+    // stage — decomposed accents, C0 controls, DEL, ws runs, CJK, emoji
+    def pure(s: String): String = {
+      val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      nfc.replaceAll("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+        .replaceAll("\\s+", " ").trim
+    }
+    val pieces = Array("\u00e9", "a", " ", "\t", "\n", "\u0000", "\u0007", "\u007f",
+      "e\u0301", "o\u0308", "\u5b57", "\ud83d\ude00", "x", "  ", "\r\n", "\u000b", "-", "A\u030a")
+    val rnd = new scala.util.Random(20260818L)
+    val inputs = (0 until 400).map { _ =>
+      (0 until (1 + rnd.nextInt(24))).map(_ => pieces(rnd.nextInt(pieces.length))).mkString
+    } :+ "" :+ "   " :+ "\u0301leading combining mark"
+    val got = inputs.toDF("text")
+      .select(TextAnalysis.normalizeText(col("text"))).as[String].collect()
+    inputs.zip(got).foreach { case (in, out) =>
+      assert(out === pure(in), s"diverged on ${in.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+  }
+
   test("dupNgramStats: planted shared 5-grams, short-doc fallback, no silent row loss") {
     val d = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta"), // 3 distinct 5-grams
