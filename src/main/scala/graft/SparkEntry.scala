@@ -520,6 +520,18 @@ object SparkEntry {
           TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
           TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))
         .orderBy("doc_id")),
+    // tracking-param strip + param sort (the URL-seen-explosion defense):
+    // synthetic campaign-tagged urls built identically in both engines
+    "qd_url_params" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("http://"), col("source"), lit(".test/p/"), col("doc_id"),
+            lit("?utm_source=x&b="), pmod(col("doc_id"), lit(3)),
+            lit("&a="), pmod(col("doc_id"), lit(2)),
+            when(pmod(col("doc_id"), lit(5)) === 0, lit("&gclid=abc"))
+              .otherwise(lit("&z=1"))).as("url"))
+        .withColumn("norm_url", graft.url.UrlFunctions.stripTrackingCol(col("url")))
+        .orderBy("doc_id")),
     // host-reputation ledger over a corpus with planted per-source exact
     // dups (every third doc twinned): integer-exact dup/short shares and
     // the host flag both thresholds exercise a real mix of 0s and 1s
@@ -1155,6 +1167,20 @@ object SparkEntry {
          SELECT doc_id, dup_of, CASE WHEN dup_of = doc_id THEN 1 ELSE 0 END AS kept
          FROM res ORDER BY doc_id""",
     "qd_dedup_cluster" -> clusterOracleSql(iters = 4),
+    "qd_url_params" ->
+      """WITH u AS (SELECT doc_id,
+                'http://' || source || '.test/p/' || doc_id || '?utm_source=x&b=' || (doc_id % 3)
+                  || '&a=' || (doc_id % 2)
+                  || CASE WHEN doc_id % 5 = 0 THEN '&gclid=abc' ELSE '&z=1' END AS url
+              FROM documents),
+         n AS (SELECT doc_id, url,
+                      list_sort(list_filter(string_split(substr(url, strpos(url, '?') + 1), '&'),
+                        p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)(=.*)?$'))) AS l
+               FROM u)
+         SELECT doc_id, url,
+                CASE WHEN len(l) = 0 THEN substr(url, 1, strpos(url, '?') - 1)
+                     ELSE substr(url, 1, strpos(url, '?') - 1) || '?' || array_to_string(l, '&') END AS norm_url
+         FROM n ORDER BY doc_id""",
     "qd_host_ledger" ->
       """WITH d2 AS (SELECT doc_id, text, source, n_chars FROM documents
                      UNION ALL SELECT doc_id + 10000, text, source, n_chars

@@ -88,8 +88,9 @@ class CrawlLoop(
   private def seedFrontier(seeds: Seq[String]): (DataFrame, Set[String]) = {
     val entries = seeds.zipWithIndex
       .flatMap { case (s, i) =>
-        Urls.canonicalizeAbsolute(s).map(u =>
-          FrontierEntry(u, 0L, Urls.hostOf(u), 0, -1L, i.toLong, 0))
+        Urls.canonicalizeAbsolute(s)
+          .map(u => if (cfg.stripTracking) Urls.stripTrackingParams(u) else u)
+          .map(u => FrontierEntry(u, 0L, Urls.hostOf(u), 0, -1L, i.toLong, 0))
       }
       .groupBy(_.url).values.map(_.minBy(_.pos)).toSeq.sortBy(_.pos)
     val df = spark.createDataset(entries).toDF()

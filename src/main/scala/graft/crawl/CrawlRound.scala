@@ -236,11 +236,18 @@ object CrawlRound {
         .select(col("url"), col("depth"), col("pord"), col("pos"), col("redir"), col("links")),
       ordBase, math.max(1, cfg.shards)))
 
-    def canonHost(base: Column, raw: Column): (Column, Column) = cfg.rewrite match {
-      case None => (col("ch._1"), col("ch._2"))
-      case Some(_) =>
-        val c = Policy.rewriteCol(cfg.rewrite, col("ch._1"))
-        (c, UrlFunctions.hostOfUdf(c))
+    // post-canonicalize URL transform: prefix rewrite, then the opt-in
+    // tracking-param strip — SAME composition as the oracle's `post`.
+    // Host recomputes only under rewrite (the strip is query-only and
+    // cannot change the host), so the no-op config stays zero-cost.
+    def canonHost(base: Column, raw: Column): (Column, Column) = {
+      val rewritten = cfg.rewrite match {
+        case None    => col("ch._1")
+        case Some(_) => Policy.rewriteCol(cfg.rewrite, col("ch._1"))
+      }
+      val c = if (cfg.stripTracking) UrlFunctions.stripTrackingCol(rewritten) else rewritten
+      val host = if (cfg.rewrite.isDefined) UrlFunctions.hostOfUdf(c) else col("ch._2")
+      (c, host)
     }
     val linkCand = {
       val (curl, chost) = canonHost(col("parentUrl"), col("href"))

@@ -177,7 +177,16 @@ final case class CrawlConfig(
     /** minimum distinct URLs before a host can be trapped (evidence floor) */
     trapMinUrls: Long = 100L,
     /** distinct-urls/distinct-patterns threshold in basis points */
-    trapMinRatioBp: Long = 50000L)
+    trapMinRatioBp: Long = 50000L,
+    /** Normalize every enqueued URL (seeds, links, redirect targets) with
+      * [[graft.url.Urls.stripTrackingParams]] — drop tracking query
+      * params (any utm_ prefix, gclid, fbclid, msclkid, ref) and sort
+      * the rest — so campaign-tagged links to one page collapse to ONE
+      * seen-set entry instead of minting a fresh URL per inbound
+      * campaign. Off by default: the reference semantics fetch the URL
+      * as discovered.
+      */
+    stripTracking: Boolean = false)
 
 /** A runner — the engine's typed-UDF surface (SURVEY.md §2 #12). Must be a
   * deterministic pure function for crawl parity; Left = error recorded under

@@ -110,8 +110,16 @@ object ReferenceCrawl {
     val results = Vector.newBuilder[RunnerResult]
     var nextOrd = 0L
 
+    // post-canonicalize URL transform: prefix rewrite, then the opt-in
+    // tracking-param strip — SAME composition as the Spark path's canonHost
+    def post(u: String): String = {
+      val r = Policy.rewrite(cfg.rewrite, u)
+      if (cfg.stripTracking) Urls.stripTrackingParams(r) else r
+    }
     var frontier: Vector[RefEntry] = seeds.zipWithIndex.flatMap { case (s, i) =>
-      Urls.canonicalizeAbsolute(s).map(u => RefEntry(u, Urls.hostOf(u), 0, -1L, i.toLong, 0))
+      Urls.canonicalizeAbsolute(s)
+        .map(u => if (cfg.stripTracking) Urls.stripTrackingParams(u) else u)
+        .map(u => RefEntry(u, Urls.hostOf(u), 0, -1L, i.toLong, 0))
     }.filter(e => seen.add(e.url)).toVector
     val seedHosts = frontier.map(_.host).toSet
     // adaptive trap feedback (cfg.trapDetectEvery): hosts trapped at a
@@ -155,7 +163,7 @@ object ReferenceCrawl {
               results += RunnerResult(e.url, round, "__redirect__", Some(rawTarget), None)
               if (cfg.followRedirects && e.depth + 1 <= cfg.maxDepth)
                 for (t <- Urls.canonicalize(e.url, rawTarget)) {
-                  val t2 = Policy.rewrite(cfg.rewrite, t)
+                  val t2 = post(t)
                   val h = Urls.hostOf(t2)
                   if (!trapHosts(h) && Policy.allows(cfg.redirectPolicy, t2, h, seedHosts))
                     candidates += RefEntry(t2, h, e.depth + 1, ord, 0L, 0)
@@ -169,7 +177,7 @@ object ReferenceCrawl {
               if (e.depth + 1 <= cfg.maxDepth) {
                 val links = Extract.extractLinks(htmlStr)
                 for ((href, i) <- links.zipWithIndex; c <- Urls.canonicalize(e.url, href)) {
-                  val c2 = Policy.rewrite(cfg.rewrite, c)
+                  val c2 = post(c)
                   val h = Urls.hostOf(c2)
                   if (!trapHosts(h) && Policy.allows(cfg.policy, c2, h, seedHosts))
                     candidates += RefEntry(c2, h, e.depth + 1, ord, i.toLong, 0)

@@ -93,4 +93,24 @@ object UrlFunctions extends Serializable {
   def canonicalizeAbs(u: Column): Column = canonicalizeAbsUdf(u)
   def hostOfUdf(u: Column): Column = hostOfUdfF(u)
   def pathOfUdf(u: Column): Column = pathOfUdfF(u)
+
+  /** Column mirror of [[Urls.stripTrackingParams]] — pure codegen
+    * built-ins (split/filter/array_sort/array_join), no UDF: unlike
+    * canonicalization this may also run corpus-side (normalizing a
+    * url column before dedup), where a UDF round-trip would cost.
+    * array_sort compares UTF-8 bytes vs the pure function's UTF-16
+    * units — identical on the percent-encoded ASCII of canonical URLs
+    * (pinned by the parity sweep).
+    */
+  def stripTrackingCol(url: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val qpos = instr(url, "?")
+    val base = url.substr(lit(1), qpos - 1)
+    val query = url.substr(qpos + 1, length(url))
+    val kept = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(Urls.TrackingParamPattern)))
+    when(qpos === 0, url)
+      .otherwise(when(size(kept) === 0, base)
+        .otherwise(concat(base, lit("?"), array_join(kept, "&"))))
+  }
 }

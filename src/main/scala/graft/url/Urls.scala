@@ -157,6 +157,38 @@ object Urls extends Serializable {
     if (noFrag.isEmpty) None else normalize(noFrag)
   }
 
+  /** Query params dropped by [[stripTrackingParams]]: the click/campaign
+    * identifiers ad and analytics stacks append (any `utm_*`, Google
+    * gclid, Facebook fbclid, Microsoft msclkid, bare `ref`) — they never
+    * change the served content, and left in place they explode the
+    * URL-seen set (every inbound campaign mints a "new" URL for the same
+    * page) and defeat URL-level dedup. Full-param match, with or without
+    * a value.
+    */
+  val TrackingParamPattern = "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)(=.*)?$"
+
+  /** Canonical-for-dedup query normalization: drop tracking params, sort
+    * the survivors bytewise, drop a now-empty `?`. Path/host/fragment
+    * untouched (run AFTER [[canonicalize]], which strips fragments).
+    * Param sort makes `?a=1&b=2` and `?b=2&a=1` one seen-set entry — the
+    * SURT-style canonical ordering. Byte order assumes percent-encoded
+    * ASCII queries (what canonical URLs contain); the Column mirror
+    * compares UTF-8 bytes, this one UTF-16 units — identical on ASCII.
+    * Opt-in in the crawl (`CrawlConfig.stripTracking`): the reference
+    * semantics don't strip, so the flag defaults off.
+    */
+  def stripTrackingParams(url: String): String = {
+    val q = url.indexOf('?')
+    if (q < 0) url
+    else {
+      val kept = url.substring(q + 1).split("&", -1).toSeq
+        .filter(p => p.nonEmpty && !p.matches(TrackingParamPattern))
+        .sorted
+      if (kept.isEmpty) url.substring(0, q)
+      else url.substring(0, q) + "?" + kept.mkString("&")
+    }
+  }
+
   /** Resolve `rawHref` against canonical `base` and normalize; None for
     * non-http(s) schemes or unresolvable refs.
     */

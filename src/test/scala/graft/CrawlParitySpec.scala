@@ -95,6 +95,41 @@ class CrawlParitySpec extends AnyFunSuite {
     runBothPages("denydomains", pages, cfg, Seq(Fixtures.urlOf(1, 0)))
   }
 
+  test("stripTracking: campaign-tagged links collapse to one seen entry, identically") {
+    import java.sql.Timestamp
+    val ts = Timestamp.valueOf("2026-01-01 00:00:00")
+    def page(url: String, html: String): Page =
+      Page(url, ts, html.getBytes("UTF-8"), "t", "en")
+    // four hrefs, two target pages: each pair differs only by tracking
+    // params / param order — with the strip ON they are ONE url apiece,
+    // keyed exactly as the store serves them
+    val seedUrl = "http://h0.test/"
+    val pages = Vector(
+      page(seedUrl,
+        """<html><body><a href="/a?utm_source=mail&x=1">1</a>""" +
+          """<a href="/a?x=1&utm_campaign=z">2</a>""" +
+          """<a href="/b?b=2&a=1&fbclid=q">3</a>""" +
+          """<a href="/b?a=1&b=2">4</a></body></html>"""),
+      page("http://h0.test/a?x=1", "<html><body>a</body></html>"),
+      page("http://h0.test/b?a=1&b=2", "<html><body>b</body></html>"))
+    val pageMap = pages.map(p => p.url -> p).toMap
+    val on = CrawlConfig(stripTracking = true)
+    val off = CrawlConfig()
+    val refOn = ReferenceCrawl.crawl(pageMap, Seq.empty, Seq(seedUrl), on, Map.empty)
+    val refOff = ReferenceCrawl.crawl(pageMap, Seq.empty, Seq(seedUrl), off, Map.empty)
+    // non-vacuous: ON fetches all three pages through normalized urls;
+    // OFF discovers four campaign variants, none matching a store key
+    assert(refOn.order.map(_.url).toSet ===
+      Set(seedUrl, "http://h0.test/a?x=1", "http://h0.test/b?a=1&b=2"))
+    assert(refOn.seen.size === 3)
+    // only the already-canonical variant (link 4) hits the store; the
+    // three campaign-tagged variants miss and burn retries
+    assert(refOff.order.map(_.url) === Vector(seedUrl, "http://h0.test/b?a=1&b=2"))
+    assert(refOff.seen.size === 5)
+    runBothPages("striptracking-on", pages, on, Seq(seedUrl))
+    runBothPages("striptracking-off", pages, off, Seq(seedUrl))
+  }
+
   test("ledger feedback: crawl-1 corpus flags the boilerplate host, crawl-2 denies it, with parity") {
     // the curation->crawl-policy feedback loop: a host serving one
     // identical body on every page (mirror/template farm) is flagged by

@@ -86,4 +86,44 @@ class UrlsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("stripTrackingParams: planted cases, then pure ≡ Column over a randomized sweep") {
+    val planted = Seq(
+      "http://h.test/p" -> "http://h.test/p", // no query untouched
+      "http://h.test/p?utm_source=x" -> "http://h.test/p", // all-tracking -> ? dropped
+      "http://h.test/p?b=2&a=1" -> "http://h.test/p?a=1&b=2", // sorted
+      "http://h.test/p?a=1&utm_campaign=z&b=2" -> "http://h.test/p?a=1&b=2",
+      "http://h.test/p?gclid=g&fbclid=f&msclkid=m&ref=r" -> "http://h.test/p",
+      "http://h.test/p?ref" -> "http://h.test/p", // bare tracking name
+      "http://h.test/p?refx=1" -> "http://h.test/p?refx=1", // prefix does NOT match
+      "http://h.test/p?utm_=1&x=2" -> "http://h.test/p?x=2", // bare utm_ prefix
+      "http://h.test/p?a=1&&b=2&" -> "http://h.test/p?a=1&b=2", // empty params drop
+      "http://h.test/p?" -> "http://h.test/p")
+    planted.foreach { case (in, want) =>
+      assert(Urls.stripTrackingParams(in) === want, s"pure diverged on $in")
+    }
+
+    val names = Array("a", "b", "zz", "utm_source", "utm_x", "gclid", "fbclid",
+      "msclkid", "ref", "refx", "utm_", "page", "id")
+    val rnd = new scala.util.Random(77L)
+    val urls = (0 until 300).map { _ =>
+      val n = rnd.nextInt(6)
+      val q =
+        if (n == 0 && rnd.nextBoolean()) ""
+        else (0 until n).map { _ =>
+          val nm = names(rnd.nextInt(names.length))
+          if (rnd.nextInt(5) == 0) nm else s"$nm=${rnd.nextInt(9)}"
+        }.mkString("&")
+      s"http://h${rnd.nextInt(3)}.test/p/${rnd.nextInt(9)}" +
+        (if (q.isEmpty && rnd.nextBoolean()) "" else s"?$q")
+    } ++ planted.map(_._1)
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = urls.toDF("url")
+      .select(graft.url.UrlFunctions.stripTrackingCol(col("url"))).as[String].collect()
+    urls.zip(got).foreach { case (in, out) =>
+      assert(out === Urls.stripTrackingParams(in), s"Column diverged on $in")
+    }
+  }
 }
