@@ -78,9 +78,21 @@ object Curate {
                  partitions: Int = 0): DataFrame = {
     require(tokensPerShard > 0, "tokensPerShard must be positive")
     val spark = docs.sparkSession
+    // partitions=0 derives from the optimizer's input-size estimate (clamped
+    // to [1, shuffle.partitions] — the Graph.adaptiveParts rule): the range
+    // repartition is exempt from AQE coalescing, so a constant here makes a
+    // small corpus pay nParts near-empty range partitions (sampling job,
+    // per-partition totals, write tasks downstream) for nothing. The OUTPUT
+    // is partition-count-independent by construction (global id order).
+    val conf = spark.sessionState.conf
     val nParts = if (partitions > 0) partitions
-      else spark.sessionState.conf.numShufflePartitions
-    val toks = docs.select(col(idCol).as("doc_id"),
+      else {
+        val advisory = math.max(1L, conf.getConf(
+          org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+        ((docs.queryExecution.optimizedPlan.stats.sizeInBytes + advisory - 1) / advisory)
+          .min(BigInt(conf.numShufflePartitions)).max(BigInt(1)).toInt
+      }
+    val toks = Inputs.parallelizeSmall(docs).select(col(idCol).as("doc_id"),
       TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("n_tokens"))
     val ranged = OpCaches.persist(
       toks.repartitionByRange(nParts, col("doc_id"))
@@ -153,7 +165,8 @@ object Curate {
     // annotations feed the filter, the audit, and the curated output —
     // one pass, cached (caller releases via OpCaches.releaseAll())
     val ann = OpCaches.persist(
-      annotate(docs, textCol).withColumn("__verdict", filterVerdict(cfg)),
+      annotate(Inputs.parallelizeSmall(docs), textCol)
+        .withColumn("__verdict", filterVerdict(cfg)),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val passed = ann.filter(col("__verdict").isNull)
     // (doc_id, dup_of, kept) for every doc that passed the filters
@@ -196,23 +209,43 @@ object Curate {
     *
     * Returns (idCol, text: cleaned, n_lines, n_kept).
     */
+  /** boilerplate key sets above this count lose the broadcast hint — at
+    * 64-hex-char sha2 keys that is tens of MB of broadcast rows, far under
+    * executor/broadcast limits; the gate exists because at low thresholds
+    * (minDocFreq = 2, the documented CCNet-style setting) the df >= 2 key
+    * set is NOT small by construction — a mirror-heavy corpus makes it
+    * O(distinct lines / 2), and an unconditional broadcast of that is a
+    * driver-OOM shape. Same observed-size gate as Politeness's overflow
+    * hosts: count first (one aggregate over the persisted key set — the
+    * broadcast build paid the same scan when the hint was unconditional),
+    * then hint only when the count is actually small.
+    */
+  private[ops] val MaxBroadcastBoilerKeys = 1000000L
+
   def dedupLines(
       docs: DataFrame,
       minDocFreq: Long,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      maxBroadcastKeys: Long = MaxBroadcastBoilerKeys): DataFrame = {
     require(minDocFreq >= 2, "minDocFreq < 2 would drop every line")
-    val lines = docs.select(col(idCol).as("__id"),
+    val lines = Inputs.parallelizeSmall(docs).select(col(idCol).as("__id"),
       posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
       .withColumn("__h", sha2(col("__line"), 256))
     // boilerplate key set: distinct (doc, line-hash) first so a doc's
     // internal repeats count once, then df >= threshold. Both aggregates
     // are map-side-combining hash aggregates on the 32-byte key.
-    val boiler = lines.select(col("__id"), col("__h")).distinct()
-      .groupBy("__h").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= minDocFreq)
-      .select(col("__h"))
-    val kept = lines.join(broadcast(boiler).withColumn("__boiler", lit(true)),
+    val boiler = OpCaches.persist(
+      lines.select(col("__id"), col("__h")).distinct()
+        .groupBy("__h").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") >= minDocFreq)
+        .select(col("__h")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // small (the overwhelmingly common case) → broadcast, per-line verdict
+    // costs no second corpus shuffle; pathological (low-threshold mirror
+    // corpus) → plain shuffle left join, driver never materializes the set
+    val rhs = if (boiler.count() <= maxBroadcastKeys) broadcast(boiler) else boiler
+    val kept = lines.join(rhs.withColumn("__boiler", lit(true)),
         Seq("__h"), "left")
       .withColumn("__keep", coalesce(col("__boiler"), lit(false)) === false)
     val assembled = kept.groupBy(col("__id")).agg(
@@ -276,19 +309,28 @@ object Curate {
     * EXACTLY deterministic — same rows at any parallelism — which is what
     * makes a training mix reproducible across re-runs.
     *
-    * Scale shape: the per-group count table is tiny (one row per domain)
-    * — the global max rides a single-partition window over THAT table,
-    * never over the corpus — and rejoins the corpus by broadcast; the
-    * repetition is a map-side explode. No corpus shuffle at all.
+    * Scale shape: the per-group count table is one row per domain — but at
+    * web registrable-domain cardinality (~10^8) even THAT table must never
+    * single-partition. The global max is a partial-aggregating `agg(max)`
+    * (one pre-aggregated row per partition crosses its exchange) broadcast
+    * back as a one-row cross join — the Recrawl global-"now" shape — not a
+    * `Window.partitionBy()` (which ships the whole count table into ONE
+    * task and sorts it there). The factors rejoin the corpus by broadcast;
+    * the repetition is a map-side explode. No corpus shuffle at all.
     */
   def balanceDomains(
       docs: DataFrame,
       groupCol: String = "source",
       maxRepeat: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    // consumed twice (factor rows + the global max) and exchange reuse does
+    // not bridge the two branches — persist so the corpus-wide count
+    // aggregate runs ONCE (one row per domain; OpCaches-released)
+    val counts = OpCaches.persist(
+      docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxn = counts.agg(max(col("__n")).as("__maxn"))
     val factors = counts
-      .withColumn("__maxn", max(col("__n")).over(Window.partitionBy()))
+      .crossJoin(broadcast(maxn))
       .select(col(groupCol),
         least(lit(maxRepeat.toLong),
           expr("(__maxn + __n - 1L) div __n")).as("__factor"))
@@ -338,7 +380,8 @@ object Curate {
   def bodyCounts(docs: DataFrame, groupCol: String = "source",
                  textCol: String = "text", charsCol: String = "n_chars",
                  minChars: Long = 100L): DataFrame =
-    docs.groupBy(col(groupCol), sha2(col(textCol), 256).as("__h"))
+    Inputs.parallelizeSmall(docs)
+      .groupBy(col(groupCol), sha2(col(textCol), 256).as("__h"))
       .agg(count(lit(1)).as("__c"),
         sum(TextAnalysis.wsTokenCount(col(textCol))).cast("long").as("__toks"),
         sum(when(col(charsCol) < minChars, 1L).otherwise(0L)).as("__shorts"))

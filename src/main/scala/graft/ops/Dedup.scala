@@ -156,7 +156,8 @@ object Dedup {
     // registered with OpCaches (the returned frame is lazy, so this op
     // cannot unpersist) — callers release via OpCaches.releaseAll()
     val shingled = OpCaches.persist(
-      docs.select(col(idCol).as("id"), wordShingles(col(textCol), k).as("sh")),
+      Inputs.parallelizeSmall(docs)
+        .select(col(idCol).as("id"), wordShingles(col(textCol), k).as("sh")),
       StorageLevel.MEMORY_AND_DISK)
     val buckets = capBuckets(
       shingled
@@ -212,8 +213,9 @@ object Dedup {
       threshold: Double = 0.7,
       seed: Long = 42L,
       maxBucketSize: Int = 0): DataFrame = {
-    val hashed = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
-      contentKey(textCol).as("__h"))
+    val hashed = Inputs.parallelizeSmall(docs)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+        contentKey(textCol).as("__h"))
     // consumed by BOTH the membership join and the representative semi-join
     // — persist the (~72-byte/row) cluster table so the full-corpus hash
     // aggregation runs once; released by callers via OpCaches.releaseAll()
@@ -272,8 +274,9 @@ object Dedup {
       seed: Long = 42L,
       iters: Int = 8,
       maxBucketSize: Int = 0): DataFrame = {
-    val hashed = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
-      contentKey(textCol).as("__h"))
+    val hashed = Inputs.parallelizeSmall(docs)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+        contentKey(textCol).as("__h"))
     val reps = OpCaches.persist(
       hashed.groupBy(col("__h")).agg(min(col("doc_id")).as("rep")),
       StorageLevel.MEMORY_AND_DISK)
@@ -373,7 +376,8 @@ object Dedup {
       threshold: Double = 0.7,
       seed: Long = 42L): (DataFrame, DataFrame) = {
     val bands = chooseBands(numHashes, threshold)
-    val shingled = docs.select(col(idCol).as("id"), wordShingles(col(textCol), k).as("sh"))
+    val shingled = Inputs.parallelizeSmall(docs)
+      .select(col(idCol).as("id"), wordShingles(col(textCol), k).as("sh"))
     val buckets = shingled.select(col("id"),
       posexplode(lshBandHashes(minhashSignature(col("sh"), numHashes, seed), bands, numHashes / bands))
         .as(Seq("band", "bandHash")))
@@ -452,7 +456,8 @@ object Dedup {
                       maxHamming: Int = 3,
                       maxBucketSize: Int = 0,
                       onCap: (Long, Long) => Unit = logCap("simhashNearDups")): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val sigs = Inputs.parallelizeSmall(docs)
+      .select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
     val banded = capBuckets(
       sigs.select(col("id"), col("sig"),
         explode(array((0 until 4).map(b =>
@@ -463,9 +468,18 @@ object Dedup {
     val r = banded.select(col("band"), col("key"), col("id").as("b"), col("sig").as("sigb"))
     l.join(r, Seq("band", "key"))
       .filter(col("a") < col("b"))
-      .dropDuplicates("a", "b")
+      // verify hamming BEFORE the pair distinct: the signature rides every
+      // candidate row already (unlike the minhash family, whose payload
+      // attaches post-distinct), so the bit_count filter is free here and
+      // the dropDuplicates shuffle then carries only the pairs that PASS —
+      // 16-bit band keys make random candidate collisions the overwhelming
+      // majority at corpus scale, and shuffling them into the distinct just
+      // to discard them after was the dominant cost of this op. Same output:
+      // hamming is a function of (a, b) (sigs are functionally dependent on
+      // ids), so filter-then-distinct == distinct-then-filter.
       .withColumn("hamming", bit_count(col("siga").bitwiseXOR(col("sigb"))))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("a", "b")
       .select(col("a"), col("b"), col("hamming"))
   }
 
@@ -491,7 +505,8 @@ object Dedup {
                            onCap: (Long, Long) => Unit = logCap("ngramJaccardNearDups")): DataFrame = {
     val bands = if (bandsOverride > 0) bandsOverride else chooseBands(numHashes, threshold)
     val grams = OpCaches.persist( // one shingling pass; released by callers via OpCaches
-      docs.select(col(idCol).as("id"), charNgrams(col(textCol), n).as("sh")),
+      Inputs.parallelizeSmall(docs)
+        .select(col(idCol).as("id"), charNgrams(col(textCol), n).as("sh")),
       StorageLevel.MEMORY_AND_DISK)
     val buckets = capBuckets(
       grams

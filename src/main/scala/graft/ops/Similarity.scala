@@ -32,15 +32,45 @@ object Similarity {
     dot(ad, bd) / (norm(ad) * norm(bd))
   }
 
-  /** Exact brute-force top-k neighbors for every vector (self-join). */
+  /** Per-row precomputed cosine operands: the double-cast vector and its
+    * norm, hoisted OUT of the candidate loops. `cosine(a, b)` evaluated per
+    * candidate pair pays two array casts and THREE dot products (dot(a,b)
+    * plus both self-dots under the sqrts) per pair; norms and casts depend
+    * only on one row, so computing them once per row and evaluating
+    * `dot(va, vb) / (na * nb)` per pair does 1/3 of the multiply-adds and
+    * none of the per-pair array allocation. Bit-identical by construction:
+    * the same cast feeds the same left-to-right dot accumulation, and the
+    * final `dot / (sqrt * sqrt)` applies the identical IEEE ops in the
+    * identical order as [[cosine]].
+    */
+  private def castWithNorm(df: DataFrame, idOut: String, vecIn: String,
+                           vecOut: String, normOut: String): DataFrame =
+    df.select(col(idOut), col(vecIn).cast("array<double>").as(vecOut))
+      .withColumn(normOut, sqrt(dot(col(vecOut), col(vecOut))))
+
+  /** `cosine` over precomputed [[castWithNorm]] operands — same IEEE result */
+  private def cosinePre(va: Column, vb: Column, na: Column, nb: Column): Column =
+    dot(va, vb) / (na * nb)
+
+  /** Exact brute-force top-k neighbors for every vector (self-join).
+    *
+    * O(n²) by contract (the recall oracle / eval-set shape — never the
+    * corpus path), so the driver of wall-clock is the per-pair cosine loop:
+    * norms precompute per row ([[castWithNorm]]) and the stream side
+    * round-robins across the session's shuffle partitions first — a small
+    * eval set arrives as ONE scan partition (one file ≪ maxPartitionBytes)
+    * and would otherwise run the whole n² loop on a single core.
+    */
   def bruteForceTopK(emb: DataFrame, k: Int = 10,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val l = emb.select(col(idCol).as("id"), col(vecCol).as("va"))
-    val r = emb.select(col(idCol).as("nb"), col(vecCol).as("vb"))
+    val nParts = emb.sparkSession.sessionState.conf.numShufflePartitions
+    val l = castWithNorm(emb.select(col(idCol).as("id"), col(vecCol)), "id", vecCol, "va", "__na")
+      .repartition(nParts)
+    val r = castWithNorm(emb.select(col(idCol).as("nb"), col(vecCol)), "nb", vecCol, "vb", "__nb")
     val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("nb"))
-    l.crossJoin(r)
+    l.crossJoin(broadcast(r))
       .filter(col("id") =!= col("nb"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim", cosinePre(col("va"), col("vb"), col("__na"), col("__nb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id"), col("rank"), col("nb"), TextAnalysis.halfUp(col("sim"), 6).as("sim"))
@@ -73,7 +103,7 @@ object Similarity {
     // row and feeds BOTH sides of the self-join — run it once. Registered
     // with OpCaches (lazy return); callers release via OpCaches.releaseAll()
     OpCaches.persist(
-      emb.select(
+      Inputs.parallelizeSmall(emb).select(
         col(idCol).as("id"),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("t"), lshBucket(col(vecCol), dims, nPlanes, seed = 42L + t).as("bkt"))): _*)).as("tb"))
@@ -82,13 +112,15 @@ object Similarity {
 
   /** join candidate id-pairs back to the vector table once per side (the
     * de-amplified verification shape — vectors cross the wire twice total,
-    * not once per table × side)
+    * not once per table × side). `vecs` carries the precomputed double
+    * vector `v` and its norm `n` ([[castWithNorm]]), so verification pays
+    * one dot product per pair, not three.
     */
   private def attachVectors(pairs: DataFrame, vecs: DataFrame,
                             aCol: String, bCol: String): DataFrame =
     pairs
-      .join(vecs.select(col("id").as(aCol), col("v").as("va")), Seq(aCol))
-      .join(vecs.select(col("id").as(bCol), col("v").as("vb")), Seq(bCol))
+      .join(vecs.select(col("id").as(aCol), col("v").as("va"), col("n").as("__na")), Seq(aCol))
+      .join(vecs.select(col("id").as(bCol), col("v").as("vb"), col("n").as("__nb")), Seq(bCol))
 
   /** Embedding near-duplicate pairs above a cosine threshold, LSH-bucketed:
     * candidates come from an equi-join on hyperplane-signature buckets
@@ -105,7 +137,7 @@ object Similarity {
                      * <= 0 = off. Drops are loudly accounted, never silent.
                      */
                    maxBucketSize: Int = 0): DataFrame = {
-    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val vecs = castWithNorm(emb.select(col(idCol).as("id"), col(vecCol)), "id", vecCol, "v", "n")
     val buckets = Dedup.capBuckets(
       bucketKeys(emb, dims, nPlanes, tables, idCol, vecCol),
       Seq("t", "bkt"), maxBucketSize, Dedup.logCap("Similarity.nearDupPairs"))
@@ -115,7 +147,7 @@ object Similarity {
       .select(col("a"), col("b"))
       .dropDuplicates("a", "b")
     attachVectors(pairs, vecs, "a", "b")
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim", cosinePre(col("va"), col("vb"), col("__na"), col("__nb")))
       .filter(col("sim") >= threshold)
       .select(col("a"), col("b"), TextAnalysis.halfUp(col("sim"), 4).as("sim"))
   }
@@ -203,11 +235,15 @@ object Similarity {
     var it = 0
     while (it < iters) {
       val assigned = base
-        .crossJoin(broadcast(centDf(cents)))
+        .withColumn("__nv", sqrt(dot(col("v"), col("v"))))
+        .crossJoin(broadcast(centDf(cents).withColumn("__nc", sqrt(dot(col("cv"), col("cv"))))))
         // NaN-proof the ordering key: a zero-norm vector yields NaN cosine,
-        // which sorts ABOVE every real value in Spark — pin it below instead
-        .withColumn("__s", when(isnan(cosine(col("v"), col("cv"))), lit(-2.0))
-          .otherwise(cosine(col("v"), col("cv"))))
+        // which sorts ABOVE every real value in Spark — pin it below instead.
+        // Norms precompute per row/centroid (castWithNorm argument): one dot
+        // per (row, centroid) instead of three, bit-identical cosine.
+        .withColumn("__s",
+          when(isnan(cosinePre(col("v"), col("cv"), col("__nv"), col("__nc"))), lit(-2.0))
+            .otherwise(cosinePre(col("v"), col("cv"), col("__nv"), col("__nc"))))
         .groupBy(col("id"))
         .agg(max_by(col("cid"), struct(col("__s"), -col("cid"))).as("cid"),
           first(col("v")).as("v")) // v is functionally dependent on id
@@ -262,18 +298,21 @@ object Similarity {
     */
   /** broadcast-centroid assignment: each (id, v) row gets its `keepTop`
     * nearest centroids ranked by cosine (the shared primitive of
-    * [[ivfTopK]] and [[ivfSearchTopK]])
+    * [[ivfTopK]] and [[ivfSearchTopK]]). Both inputs carry [[castWithNorm]]
+    * operands — (id, v, n) and (cid, cv, cn) — so the n×nlist assignment
+    * stream pays one dot per (row, centroid).
     */
   private def assignLists(vecs: DataFrame, cents: DataFrame, keepTop: Int): DataFrame =
     vecs.crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(col("v"), col("cv")))
+      .withColumn("csim", cosinePre(col("v"), col("cv"), col("n"), col("cn")))
       .withColumn("__cr", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))))
       .filter(col("__cr") <= math.max(1, keepTop))
-      .select(col("id"), col("cid"), col("__cr"), col("v"))
+      .select(col("id"), col("cid"), col("__cr"), col("v"), col("n"))
 
   /** probed-lists join + per-list lossless prune + global top-k (the back
-    * half both IVF ops share); `excludeSelf` drops id==nb (self-kNN shape)
+    * half both IVF ops share); `excludeSelf` drops id==nb (self-kNN shape).
+    * Sides carry precomputed (va, __na) / (vb, __nb) cosine operands.
     */
   private def probeJoinTopK(probes: DataFrame, lists: DataFrame, k: Int,
                             excludeSelf: Boolean): DataFrame = {
@@ -281,7 +320,7 @@ object Similarity {
     val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("nb"))
     val joined = probes.join(lists, Seq("cid"))
     (if (excludeSelf) joined.filter(col("id") =!= col("nb")) else joined)
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim", cosinePre(col("va"), col("vb"), col("__na"), col("__nb")))
       .withColumn("__lr", row_number().over(perList))
       .filter(col("__lr") <= k)
       .withColumn("rank", row_number().over(w))
@@ -294,18 +333,20 @@ object Similarity {
               centroids: Option[DataFrame] = None,
               maxListSize: Int = 0,
               onCap: (Long, Long) => Unit = Dedup.logCap("Similarity.ivfTopK")): DataFrame = {
-    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val cents = centroids
-      .map(c => c.toDF("cid", "cv"))
-      .getOrElse(emb.orderBy(col(idCol)).limit(nlist)
-        .select(col(idCol).as("cid"), col(vecCol).as("cv")))
+    val vecs = castWithNorm(emb.select(col(idCol).as("id"), col(vecCol)), "id", vecCol, "v", "n")
+    val cents = castWithNorm(
+      centroids.map(c => c.toDF("cid", "cv"))
+        .getOrElse(emb.orderBy(col(idCol)).limit(nlist)
+          .select(col(idCol).as("cid"), col(vecCol).as("cv"))),
+      "cid", "cv", "cv", "cn")
     // consumed twice (lists + probes): one assignment pass, cached
     val assigned = OpCaches.persist(
       assignLists(vecs, cents, nprobe), StorageLevel.MEMORY_AND_DISK)
     val lists = Dedup.capBuckets(
-      assigned.filter(col("__cr") === 1).select(col("cid"), col("id").as("nb"), col("v").as("vb")),
+      assigned.filter(col("__cr") === 1)
+        .select(col("cid"), col("id").as("nb"), col("v").as("vb"), col("n").as("__nb")),
       Seq("cid"), maxListSize, onCap)
-    val probes = assigned.select(col("id"), col("cid"), col("v").as("va"))
+    val probes = assigned.select(col("id"), col("cid"), col("v").as("va"), col("n").as("__na"))
     probeJoinTopK(probes, lists, k, excludeSelf = true)
   }
 
@@ -320,11 +361,11 @@ object Similarity {
     */
   def searchTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("id"), col(vecCol).as("va"))
-    val c = corpus.select(col(idCol).as("nb"), col(vecCol).as("vb"))
+    val q = castWithNorm(queries.select(col(idCol).as("id"), col(vecCol)), "id", vecCol, "va", "__na")
+    val c = castWithNorm(corpus.select(col(idCol).as("nb"), col(vecCol)), "nb", vecCol, "vb", "__nb")
     val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("nb"))
     c.crossJoin(broadcast(q))
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim", cosinePre(col("va"), col("vb"), col("__na"), col("__nb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id"), col("rank"), col("nb"), TextAnalysis.halfUp(col("sim"), 6).as("sim"))
@@ -353,8 +394,10 @@ object Similarity {
                     centroids: Option[DataFrame] = None,
                     maxListSize: Int = 0,
                     onCap: (Long, Long) => Unit = Dedup.logCap("Similarity.ivfSearchTopK")): DataFrame = {
-    val qv = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val qv = castWithNorm(queries.select(col(idCol).as("id"), col(vecCol)), "id", vecCol, "v", "n")
+    // corpus: ONE double-cast per row feeds both the fused assignment and
+    // the precomputed verification operands (vb, __nb) — still map-only
+    val cvd = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vd"))
     val cents0 = centroids
       .map(c => c.toDF("cid", "cv"))
       .getOrElse(corpus.orderBy(col(idCol)).limit(nlist)
@@ -363,15 +406,16 @@ object Similarity {
       .select(col("cid").cast("long"), col("cv").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
     val lists = Dedup.capBuckets(
-      cv.select(
-        graft.functions.IvfAssign.ivf_assign(col("v").cast("array<double>"), centRows).as("cid"),
-        col("id").as("nb"), col("v").as("vb")),
+      cvd.select(
+        graft.functions.IvfAssign.ivf_assign(col("vd"), centRows).as("cid"),
+        col("id").as("nb"), col("vd").as("vb"), sqrt(dot(col("vd"), col("vd"))).as("__nb")),
       Seq("cid"), maxListSize, onCap)
     // probes keep the window formulation (a query set is small; its Exchange
     // carries |Q|·nprobe rows) — cid cast long to match the map-side lists
-    val cents = cents0.select(col("cid").cast("long").as("cid"), col("cv"))
+    val cents = castWithNorm(
+      cents0.select(col("cid").cast("long").as("cid"), col("cv")), "cid", "cv", "cv", "cn")
     val probes = assignLists(qv, cents, nprobe)
-      .select(col("id"), col("cid"), col("v").as("va"))
+      .select(col("id"), col("cid"), col("v").as("va"), col("n").as("__na"))
     probeJoinTopK(broadcast(probes), lists, k, excludeSelf = false)
   }
 
@@ -414,7 +458,7 @@ object Similarity {
               probeBits: Int = 0): DataFrame = {
     require(probeBits >= 0 && probeBits <= 1,
       "probeBits > 1 multiplies candidates by C(nPlanes, b) — unsupported by design")
-    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val vecs = castWithNorm(emb.select(col(idCol).as("id"), col(vecCol)), "id", vecCol, "v", "n")
     val buckets = Dedup.capBuckets(
       bucketKeys(emb, dims, nPlanes, tables, idCol, vecCol),
       Seq("t", "bkt"), maxBucketSize, onCap)
@@ -436,7 +480,7 @@ object Similarity {
       .orderBy(col("sim").desc, col("nb"))
     val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("nb"))
     attachVectors(cands, vecs, "id", "nb")
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim", cosinePre(col("va"), col("vb"), col("__na"), col("__nb")))
       .withColumn("__brk", row_number().over(perBucket))
       .filter(col("__brk") <= k)
       .withColumn("rank", row_number().over(w))

@@ -97,7 +97,7 @@ object TextAnalysis {
     */
   def repetitionFeatures(docs: DataFrame, textCol: String = "text",
                          idCol: String = "doc_id"): DataFrame = {
-    val words = docs.select(col(idCol).as("doc_id"),
+    val words = Inputs.parallelizeSmall(docs).select(col(idCol).as("doc_id"),
       explode(filter(split(col(textCol), "\\s+"), w => w =!= "")).as("w"))
     words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -145,19 +145,26 @@ object TextAnalysis {
     */
   def lmScore(docs: DataFrame, textCol: String = "text",
               idCol: String = "doc_id"): DataFrame = {
-    val base = docs.select(col(idCol).as("__id"), toks(col(textCol)).as("__t"))
+    val base = Inputs.parallelizeSmall(docs)
+      .select(col(idCol).as("__id"), toks(col(textCol)).as("__t"))
     // one map-side pass: per doc, the list of (w1, bigram) instances.
     // Docs with < 2 tokens are filtered BEFORE the explode — Spark's
     // sequence(0, -1) is the DESCENDING [0, -1] and __t[-1] throws under
     // ANSI; the trailing left join restores them with zero scores.
+    // the corpus-sized instance stream shuffles three times (bigram join,
+    // unigram join, per-doc fold) — key it on 8-byte xxhash64 values, never
+    // the variable-width token strings (the repo's fixed-width-key rule).
+    // A hash collision merges two count cells (~2^-64 per distinct-pair —
+    // the same conservative posture as decontam's gram hashes); the
+    // strings themselves never leave the map side.
     val inst = base.filter(size(col("__t")) >= 2).select(col("__id"),
       explode(expr("transform(sequence(0, size(__t) - 2), i -> " +
-        "struct(__t[i] AS w1, concat(__t[i], ' ', __t[i + 1]) AS bg))")).as("p"))
-      .select(col("__id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
-    val bgCounts = inst.groupBy("bg").agg(count(lit(1)).as("__cbg"))
-    val w1Counts = inst.groupBy("w1").agg(count(lit(1)).as("__cw1"))
+        "struct(xxhash64(__t[i]) AS w1h, xxhash64(concat(__t[i], ' ', __t[i + 1])) AS bgh))")).as("p"))
+      .select(col("__id"), col("p.w1h").as("w1h"), col("p.bgh").as("bgh"))
+    val bgCounts = inst.groupBy("bgh").agg(count(lit(1)).as("__cbg"))
+    val w1Counts = inst.groupBy("w1h").agg(count(lit(1)).as("__cw1"))
     val scored = inst
-      .join(bgCounts, "bg").join(w1Counts, "w1")
+      .join(bgCounts, "bgh").join(w1Counts, "w1h")
       .groupBy("__id").agg(
         count(lit(1)).as("n_bigrams"),
         sum(ilog2(col("__cbg")) - ilog2(col("__cw1"))).cast("long").as("lm_score"))
@@ -184,7 +191,7 @@ object TextAnalysis {
                     idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nDocs = docs.agg(count(lit(1)).as("__N"))
-    val words = docs.select(col(idCol).as("__id"),
+    val words = Inputs.parallelizeSmall(docs).select(col(idCol).as("__id"),
       explode(toks(col(textCol))).as("w"))
     val tf = words.groupBy("__id", "w").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("w").agg(count(lit(1)).as("__df"))
@@ -214,7 +221,8 @@ object TextAnalysis {
                   langCol: String = "lang",
                   valueCol: String = "n_chars"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = docs.groupBy(col(langCol)).agg(
+    val toked = Inputs.parallelizeSmall(docs)
+    val tok = toked.groupBy(col(langCol)).agg(
       count(lit(1)).as("n_docs"),
       sum(wsTokenCount(col(textCol))).cast("long").as("total_tokens"))
     val hist = docs.select(col(langCol), col(valueCol).as("v"))
@@ -280,7 +288,7 @@ object TextAnalysis {
     */
   def dupNgramStats(docs: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id", n: Int = 5): DataFrame = {
-    val grams = docs.select(col(idCol).as("doc_id"),
+    val grams = Inputs.parallelizeSmall(docs).select(col(idCol).as("doc_id"),
       explode_outer(graft.functions.MinHash.shingle_hashes(col(textCol), word = true, n)).as("g"))
     val shared = grams.groupBy("g").agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= 2).select(col("g"), lit(1).as("__dup"))

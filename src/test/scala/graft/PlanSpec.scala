@@ -276,13 +276,16 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(df)
     assert(plan.contains("BroadcastHashJoin"),
       s"boilerplate key set must broadcast into the per-line verdict:\n$plan")
-    // three hash exchanges: per-doc distinct, the df aggregate over line
-    // keys, and the per-doc reassembly — the line stream itself never
-    // shuffles twice for the verdict
-    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(nEx <= 3, s"expected <=3 hash exchanges, got $nEx:\n$plan")
-    assert(plan.contains("partial_count") || plan.contains("partial"),
-      s"df count must partially aggregate before its exchange:\n$plan")
+    // the boilerplate key set is persisted for the observed-size broadcast
+    // gate (its two aggregate exchanges run once, in the gate's count job,
+    // and show up here only inside the InMemoryRelation subtree) — the LIVE
+    // query shuffles the line stream exactly once, into the per-doc
+    // reassembly aggregate
+    val livePlan = plan.split("InMemoryRelation")(0)
+    val nEx = "Exchange hashpartitioning".r.findAllIn(livePlan).length
+    assert(nEx <= 1, s"expected <=1 live hash exchange (reassembly), got $nEx:\n$plan")
+    assert(plan.contains("partial"),
+      s"reassembly must partially aggregate before its exchange:\n$plan")
   }
 
   test("balanceDomains: factors broadcast back, repetition is a map-side explode") {
@@ -292,10 +295,28 @@ class PlanSpec extends AnyFunSuite {
       s"per-group factors must broadcast-join the corpus:\n$plan")
     assert(plan.contains("Generate explode"),
       s"repetition must be a generator, not a join:\n$plan")
-    // the corpus shuffles only into the (tiny) per-group count aggregate;
-    // the global max rides a SinglePartition window over THAT table
-    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(nEx == 1, s"expected 1 hash exchange (group counts), got $nEx:\n$plan")
+    // the corpus shuffles only into the (tiny, persisted) per-group count
+    // aggregate; the global max is a partial-aggregating agg(max) broadcast
+    // back — NEVER a Window.partitionBy() (which would ship the whole count
+    // table into one task and sort it: at web registrable-domain
+    // cardinality that is a single-task sort of ~10^8 rows)
+    assert(!plan.contains("Window"),
+      s"global max must be an aggregate, not a single-partition window:\n$plan")
+    graft.ops.OpCaches.releaseAll()
+  }
+
+  test("lmScore: corpus-sized instance stream shuffles on 8-byte hash keys, never token strings") {
+    val df = SparkEntry.queries("qd_lm_score")(spark, dir)
+    val plan = planOf(df)
+    // the bigram/unigram count joins key on xxhash64 values (fixed-width
+    // longs — the #<id>L suffix); the variable-width w1/bg strings must
+    // never be exchange keys (VERDICT r6 Next #3)
+    assert("hashpartitioning\\(bgh#\\d+L".r.findFirstIn(plan).isDefined,
+      s"bigram join must key on the 8-byte hash:\n$plan")
+    assert("hashpartitioning\\(w1h#\\d+L".r.findFirstIn(plan).isDefined,
+      s"unigram join must key on the 8-byte hash:\n$plan")
+    assert("hashpartitioning\\((bg|w1)#".r.findFirstIn(plan).isEmpty,
+      s"token strings must not be exchange keys:\n$plan")
   }
 
   test("blocklist: suffix-chain turns subtree match into equi-joins — no nested loop") {
