@@ -165,8 +165,7 @@ object Curate {
     // annotations feed the filter, the audit, and the curated output —
     // one pass, cached (caller releases via OpCaches.releaseAll())
     val ann = OpCaches.persist(
-      annotate(Inputs.parallelizeSmall(docs), textCol)
-        .withColumn("__verdict", filterVerdict(cfg)),
+      annotate(docs, textCol).withColumn("__verdict", filterVerdict(cfg)),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val passed = ann.filter(col("__verdict").isNull)
     // (doc_id, dup_of, kept) for every doc that passed the filters
@@ -229,22 +228,39 @@ object Curate {
       idCol: String = "doc_id",
       maxBroadcastKeys: Long = MaxBroadcastBoilerKeys): DataFrame = {
     require(minDocFreq >= 2, "minDocFreq < 2 would drop every line")
-    val lines = Inputs.parallelizeSmall(docs).select(col(idCol).as("__id"),
+    // gate regimes, cheapest sufficient evidence first:
+    //   - input provably under the broadcast threshold → the df>=2 key set
+    //     is broadcast-safe by construction; no count job, the whole op
+    //     stays ONE job (the r6 fast path).
+    //   - otherwise → observed-size gate (the Politeness pattern): persist
+    //     the key set (and, while the input is still advisory-small, the
+    //     exploded line table — so the per-line sha-256 runs once, not
+    //     twice), count it, broadcast only under `maxBroadcastKeys`; a
+    //     pathological low-threshold mirror corpus takes a plain shuffle
+    //     left join and the driver never materializes the set.
+    //   - maxBroadcastKeys <= 0 → broadcast disabled outright (policy/tests).
+    val tinyInput = maxBroadcastKeys > 0 && Inputs.isBroadcastSmall(docs)
+    val lines0 = docs.select(col(idCol).as("__id"),
       posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
       .withColumn("__h", sha2(col("__line"), 256))
+    val lines = if (!tinyInput && maxBroadcastKeys > 0 && Inputs.isSmall(docs))
+      OpCaches.persist(lines0, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else lines0
     // boilerplate key set: distinct (doc, line-hash) first so a doc's
     // internal repeats count once, then df >= threshold. Both aggregates
     // are map-side-combining hash aggregates on the 32-byte key.
-    val boiler = OpCaches.persist(
-      lines.select(col("__id"), col("__h")).distinct()
-        .groupBy("__h").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") >= minDocFreq)
-        .select(col("__h")),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // small (the overwhelmingly common case) → broadcast, per-line verdict
-    // costs no second corpus shuffle; pathological (low-threshold mirror
-    // corpus) → plain shuffle left join, driver never materializes the set
-    val rhs = if (boiler.count() <= maxBroadcastKeys) broadcast(boiler) else boiler
+    val boiler0 = lines.select(col("__id"), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("__h"))
+    val rhs =
+      if (tinyInput) broadcast(boiler0)
+      else if (maxBroadcastKeys <= 0) boiler0
+      else {
+        val boiler = OpCaches.persist(boiler0,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (boiler.count() <= maxBroadcastKeys) broadcast(boiler) else boiler
+      }
     val kept = lines.join(rhs.withColumn("__boiler", lit(true)),
         Seq("__h"), "left")
       .withColumn("__keep", coalesce(col("__boiler"), lit(false)) === false)
@@ -380,8 +396,7 @@ object Curate {
   def bodyCounts(docs: DataFrame, groupCol: String = "source",
                  textCol: String = "text", charsCol: String = "n_chars",
                  minChars: Long = 100L): DataFrame =
-    Inputs.parallelizeSmall(docs)
-      .groupBy(col(groupCol), sha2(col(textCol), 256).as("__h"))
+    docs.groupBy(col(groupCol), sha2(col(textCol), 256).as("__h"))
       .agg(count(lit(1)).as("__c"),
         sum(TextAnalysis.wsTokenCount(col(textCol))).cast("long").as("__toks"),
         sum(when(col(charsCol) < minChars, 1L).otherwise(0L)).as("__shorts"))

@@ -213,9 +213,8 @@ object Dedup {
       threshold: Double = 0.7,
       seed: Long = 42L,
       maxBucketSize: Int = 0): DataFrame = {
-    val hashed = Inputs.parallelizeSmall(docs)
-      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
-        contentKey(textCol).as("__h"))
+    val hashed = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+      contentKey(textCol).as("__h"))
     // consumed by BOTH the membership join and the representative semi-join
     // — persist the (~72-byte/row) cluster table so the full-corpus hash
     // aggregation runs once; released by callers via OpCaches.releaseAll()
@@ -274,9 +273,8 @@ object Dedup {
       seed: Long = 42L,
       iters: Int = 8,
       maxBucketSize: Int = 0): DataFrame = {
-    val hashed = Inputs.parallelizeSmall(docs)
-      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
-        contentKey(textCol).as("__h"))
+    val hashed = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+      contentKey(textCol).as("__h"))
     val reps = OpCaches.persist(
       hashed.groupBy(col("__h")).agg(min(col("doc_id")).as("rep")),
       StorageLevel.MEMORY_AND_DISK)

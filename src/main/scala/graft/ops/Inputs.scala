@@ -28,12 +28,43 @@ import org.apache.spark.sql.internal.SQLConf
   */
 object Inputs {
 
+  /** true when the optimizer's size estimate says the whole frame fits in
+    * `numShufflePartitions` advisory-sized partitions — the "redistribution
+    * or materialization costs ~nothing" regime
+    */
+  private[graft] def isSmall(df: DataFrame): Boolean = {
+    val conf = df.sparkSession.sessionState.conf
+    val advisory = math.max(1L, conf.getConf(SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(advisory) * conf.numShufflePartitions
+  }
+
+  /** true when the optimizer's estimate puts the WHOLE frame under the
+    * session broadcast threshold — anything derived from it by distinct-key
+    * aggregation is then broadcast-safe without an observed count (worst
+    * case a distinct-line key set inflates the bytes by the key-vs-line
+    * width ratio — bounded small multiples of an already-broadcastable
+    * input, never the unbounded corpus-scale shape the gates exist for).
+    * `autoBroadcastJoinThreshold = -1` (disabled) makes this always false.
+    */
+  private[graft] def isBroadcastSmall(df: DataFrame): Boolean = {
+    val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    thr > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thr)
+  }
+
+  /** Fires when the optimizer's estimate fits the whole input in ONE scan
+    * split (`spark.sql.files.maxPartitionBytes`) — such a frame arrives as
+    * 1-2 partitions by the split math, so the round-robin exchange costs
+    * ~nothing and unlocks the session's full parallelism for the fused map
+    * pass. Deliberately judged from STATS ONLY: probing the actual RDD
+    * partition count (`df.rdd`) finalizes an adaptive plan, which EXECUTES
+    * the frame's shuffle stages eagerly — a derived input would compute
+    * twice (measured: dedupCorpus' rep table did exactly that).
+    */
   private[graft] def parallelizeSmall(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.sessionState.conf
-    val parts = conf.numShufflePartitions
-    val advisory = math.max(1L, conf.getConf(SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
-    val small =
-      df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(advisory) * parts
-    if (small && df.rdd.getNumPartitions < parts) df.repartition(parts) else df
+    val oneSplit = df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(conf.getConf(SQLConf.FILES_MAX_PARTITION_BYTES))
+    if (oneSplit) df.repartition(conf.numShufflePartitions) else df
   }
 }

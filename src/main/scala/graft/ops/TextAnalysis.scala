@@ -97,7 +97,7 @@ object TextAnalysis {
     */
   def repetitionFeatures(docs: DataFrame, textCol: String = "text",
                          idCol: String = "doc_id"): DataFrame = {
-    val words = Inputs.parallelizeSmall(docs).select(col(idCol).as("doc_id"),
+    val words = docs.select(col(idCol).as("doc_id"),
       explode(filter(split(col(textCol), "\\s+"), w => w =!= "")).as("w"))
     words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -145,8 +145,7 @@ object TextAnalysis {
     */
   def lmScore(docs: DataFrame, textCol: String = "text",
               idCol: String = "doc_id"): DataFrame = {
-    val base = Inputs.parallelizeSmall(docs)
-      .select(col(idCol).as("__id"), toks(col(textCol)).as("__t"))
+    val base = docs.select(col(idCol).as("__id"), toks(col(textCol)).as("__t"))
     // one map-side pass: per doc, the list of (w1, bigram) instances.
     // Docs with < 2 tokens are filtered BEFORE the explode — Spark's
     // sequence(0, -1) is the DESCENDING [0, -1] and __t[-1] throws under
@@ -191,7 +190,7 @@ object TextAnalysis {
                     idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nDocs = docs.agg(count(lit(1)).as("__N"))
-    val words = Inputs.parallelizeSmall(docs).select(col(idCol).as("__id"),
+    val words = docs.select(col(idCol).as("__id"),
       explode(toks(col(textCol))).as("w"))
     val tf = words.groupBy("__id", "w").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("w").agg(count(lit(1)).as("__df"))
@@ -221,8 +220,7 @@ object TextAnalysis {
                   langCol: String = "lang",
                   valueCol: String = "n_chars"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toked = Inputs.parallelizeSmall(docs)
-    val tok = toked.groupBy(col(langCol)).agg(
+    val tok = docs.groupBy(col(langCol)).agg(
       count(lit(1)).as("n_docs"),
       sum(wsTokenCount(col(textCol))).cast("long").as("total_tokens"))
     val hist = docs.select(col(langCol), col(valueCol).as("v"))
@@ -288,7 +286,7 @@ object TextAnalysis {
     */
   def dupNgramStats(docs: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id", n: Int = 5): DataFrame = {
-    val grams = Inputs.parallelizeSmall(docs).select(col(idCol).as("doc_id"),
+    val grams = docs.select(col(idCol).as("doc_id"),
       explode_outer(graft.functions.MinHash.shingle_hashes(col(textCol), word = true, n)).as("g"))
     val shared = grams.groupBy("g").agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= 2).select(col("g"), lit(1).as("__dup"))

@@ -276,16 +276,17 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(df)
     assert(plan.contains("BroadcastHashJoin"),
       s"boilerplate key set must broadcast into the per-line verdict:\n$plan")
-    // the boilerplate key set is persisted for the observed-size broadcast
-    // gate (its two aggregate exchanges run once, in the gate's count job,
-    // and show up here only inside the InMemoryRelation subtree) — the LIVE
-    // query shuffles the line stream exactly once, into the per-doc
-    // reassembly aggregate
+    // this fixture is under the broadcast threshold, so the gate's
+    // provably-tiny fast path fires: ONE job, the r6 shape — three hash
+    // exchanges (per-doc distinct, df aggregate, per-doc reassembly); the
+    // line stream itself never shuffles twice for the verdict. (The
+    // observed-count path's extra exchanges live in its count job and are
+    // exercised by the GraphSpec gate-equivalence scenario.)
     val livePlan = plan.split("InMemoryRelation")(0)
     val nEx = "Exchange hashpartitioning".r.findAllIn(livePlan).length
-    assert(nEx <= 1, s"expected <=1 live hash exchange (reassembly), got $nEx:\n$plan")
+    assert(nEx <= 3, s"expected <=3 live hash exchanges, got $nEx:\n$plan")
     assert(plan.contains("partial"),
-      s"reassembly must partially aggregate before its exchange:\n$plan")
+      s"df count must partially aggregate before its exchange:\n$plan")
   }
 
   test("balanceDomains: factors broadcast back, repetition is a map-side explode") {
