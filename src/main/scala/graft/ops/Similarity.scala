@@ -103,7 +103,7 @@ object Similarity {
     // row and feeds BOTH sides of the self-join — run it once. Registered
     // with OpCaches (lazy return); callers release via OpCaches.releaseAll()
     OpCaches.persist(
-      Inputs.parallelizeSmall(emb).select(
+      emb.select(
         col(idCol).as("id"),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("t"), lshBucket(col(vecCol), dims, nPlanes, seed = 42L + t).as("bkt"))): _*)).as("tb"))
@@ -333,20 +333,32 @@ object Similarity {
               centroids: Option[DataFrame] = None,
               maxListSize: Int = 0,
               onCap: (Long, Long) => Unit = Dedup.logCap("Similarity.ivfTopK")): DataFrame = {
+    val cents0 = centroids.map(c => c.toDF("cid", "cv"))
+      .getOrElse(emb.orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol).as("cid"), col(vecCol).as("cv")))
+    // lists side: the fused map-side argmax assignment ([[graft.functions.IvfAssign]]
+    // — the ivfSearchTopK shape, r6-pinned bit-identical to the window
+    // formulation's rank-1 incl. NaN/tie order). This replaces the r6
+    // persisted n×nprobe assignment cache: the corpus's top-1 membership
+    // never needs a window exchange or a corpus-sized cache of double
+    // vectors — one map pass, centroid driver materialization bounded at
+    // nlist×dims doubles (the trainCentroids budget).
+    val centRows = cents0
+      .select(col("cid").cast("long"), col("cv").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val cvd = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vd"))
+    val lists = Dedup.capBuckets(
+      cvd.select(
+        graft.functions.IvfAssign.ivf_assign(col("vd"), centRows).as("cid"),
+        col("id").as("nb"), col("vd").as("vb"), sqrt(dot(col("vd"), col("vd"))).as("__nb")),
+      Seq("cid"), maxListSize, onCap)
+    // probes side keeps the window formulation (top-nprobe per row has no
+    // fused form); cid cast long to match the map-side lists
     val vecs = castWithNorm(emb.select(col(idCol).as("id"), col(vecCol)), "id", vecCol, "v", "n")
     val cents = castWithNorm(
-      centroids.map(c => c.toDF("cid", "cv"))
-        .getOrElse(emb.orderBy(col(idCol)).limit(nlist)
-          .select(col(idCol).as("cid"), col(vecCol).as("cv"))),
-      "cid", "cv", "cv", "cn")
-    // consumed twice (lists + probes): one assignment pass, cached
-    val assigned = OpCaches.persist(
-      assignLists(vecs, cents, nprobe), StorageLevel.MEMORY_AND_DISK)
-    val lists = Dedup.capBuckets(
-      assigned.filter(col("__cr") === 1)
-        .select(col("cid"), col("id").as("nb"), col("v").as("vb"), col("n").as("__nb")),
-      Seq("cid"), maxListSize, onCap)
-    val probes = assigned.select(col("id"), col("cid"), col("v").as("va"), col("n").as("__na"))
+      cents0.select(col("cid").cast("long").as("cid"), col("cv")), "cid", "cv", "cv", "cn")
+    val probes = assignLists(vecs, cents, nprobe)
+      .select(col("id"), col("cid"), col("v").as("va"), col("n").as("__na"))
     probeJoinTopK(probes, lists, k, excludeSelf = true)
   }
 
