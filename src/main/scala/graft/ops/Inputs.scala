@@ -63,8 +63,20 @@ object Inputs {
     */
   private[graft] def parallelizeSmall(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.sessionState.conf
-    val oneSplit = df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+    val plan = df.queryExecution.optimizedPlan
+    val oneSplit = plan.stats.sizeInBytes <=
       BigInt(conf.getConf(SQLConf.FILES_MAX_PARTITION_BYTES))
-    if (oneSplit) df.repartition(conf.numShufflePartitions) else df
+    // only scan-rooted (map-only) lineage is ever under-split: a frame
+    // below a join/aggregate/window/repartition already went through an
+    // exchange and carries the session parallelism — redistributing it
+    // again is pure waste (measured on dedupCorpus' rep table)
+    val mapOnly = plan.find {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Join => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Window => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
+      case _ => false
+    }.isEmpty
+    if (oneSplit && mapOnly) df.repartition(conf.numShufflePartitions) else df
   }
 }
